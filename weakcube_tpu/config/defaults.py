@@ -1,0 +1,238 @@
+"""Default configuration tree.
+
+Key-compatible with the reference: the detectron2 defaults the codebase
+actually reads, plus every Cube R-CNN extension added by
+cubercnn/config/config.py:4-187. The reference's configs/*.yaml files merge
+cleanly on top of this tree (verified by tests/test_config.py).
+"""
+from .config import CfgNode
+
+
+def build_default_cfg() -> CfgNode:
+    c = CfgNode()
+
+    c.VERSION = 2
+    c.OUTPUT_DIR = "./output"
+    c.SEED = -1
+    c.VIS_PERIOD = 0
+
+    # ---- model ----------------------------------------------------------
+    c.MODEL = CfgNode()
+    c.MODEL.DEVICE = "tpu"
+    c.MODEL.META_ARCHITECTURE = "RCNN3D"
+    c.MODEL.WEIGHTS = ""
+    c.MODEL.WEIGHTS_PRETRAIN = ""
+    c.MODEL.MASK_ON = False
+    c.MODEL.KEYPOINT_ON = False
+    c.MODEL.LOAD_PROPOSALS = False
+    c.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]
+    c.MODEL.PIXEL_STD = [57.375, 57.120, 58.395]
+    c.MODEL.STABILIZE = 0.01
+    c.MODEL.USE_BN = True
+    c.MODEL.DEPTH_ON = False
+
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = "build_dla_from_vision_fpn_backbone"
+    c.MODEL.BACKBONE.FREEZE_AT = 0
+
+    c.MODEL.FPN = CfgNode()
+    c.MODEL.FPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    c.MODEL.FPN.OUT_CHANNELS = 256
+    c.MODEL.FPN.NORM = ""
+    c.MODEL.FPN.FUSE_TYPE = "sum"
+
+    c.MODEL.DLA = CfgNode()
+    c.MODEL.DLA.TYPE = "dla34"
+    c.MODEL.DLA.TRICKS = False
+
+    c.MODEL.RESNETS = CfgNode()
+    c.MODEL.RESNETS.DEPTH = 50
+    c.MODEL.RESNETS.TORCHVISION = True
+    c.MODEL.RESNETS.OUT_FEATURES = ["res4"]
+
+    c.MODEL.ANCHOR_GENERATOR = CfgNode()
+    c.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    c.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    c.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+
+    c.MODEL.PROPOSAL_GENERATOR = CfgNode()
+    c.MODEL.PROPOSAL_GENERATOR.NAME = "RPNWithIgnore"
+    c.MODEL.PROPOSAL_GENERATOR.MIN_SIZE = 0
+
+    c.MODEL.RPN = CfgNode()
+    c.MODEL.RPN.HEAD_NAME = "StandardRPNHead"
+    c.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    c.MODEL.RPN.IOU_THRESHOLDS = [0.3, 0.7]
+    c.MODEL.RPN.IOU_LABELS = [0, -1, 1]
+    c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    c.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    c.MODEL.RPN.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    c.MODEL.RPN.BBOX_REG_LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    c.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    c.MODEL.RPN.LOSS_WEIGHT = 1.0
+    c.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    c.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    c.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+    c.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    c.MODEL.RPN.NMS_THRESH = 0.7
+    c.MODEL.RPN.BOUNDARY_THRESH = -1
+    c.MODEL.RPN.CONV_DIMS = [-1]
+    c.MODEL.RPN.IGNORE_THRESHOLD = 0.5
+    c.MODEL.RPN.OBJECTNESS_UNCERTAINTY = "IoUness"
+
+    c.MODEL.ROI_HEADS = CfgNode()
+    c.MODEL.ROI_HEADS.NAME = "ROIHeads3D"
+    c.MODEL.ROI_HEADS.NUM_CLASSES = 43
+    c.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    c.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.5]
+    c.MODEL.ROI_HEADS.IOU_LABELS = [0, 1]
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    c.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    c.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    c.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT = True
+
+    c.MODEL.ROI_BOX_HEAD = CfgNode()
+    c.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    c.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    c.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    c.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    c.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    c.MODEL.ROI_BOX_HEAD.NORM = ""
+    c.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    c.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    c.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT = 1.0
+    c.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    c.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
+    c.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    c.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
+
+    rc = c.MODEL.ROI_CUBE_HEAD = CfgNode()
+    rc.NAME = "CubeHead"
+    rc.POOLER_RESOLUTION = 7
+    rc.POOLER_SAMPLING_RATIO = 0
+    rc.POOLER_TYPE = "ROIAlignV2"
+    rc.NUM_CONV = 0
+    rc.CONV_DIM = 256
+    rc.NUM_FC = 2
+    rc.FC_DIM = 1024
+    rc.NUMBER_OF_PROPOSALS = 1000
+    rc.Z_TYPE = "direct"            # ['direct', 'sigmoid', 'log', 'clusters']
+    rc.POSE_TYPE = "6d"             # ['6d', 'euler', 'quaternion']
+    rc.INVERSE_Z_WEIGHT = False
+    rc.VIRTUAL_DEPTH = True
+    rc.VIRTUAL_FOCAL = 512.0
+    rc.DISENTANGLED_LOSS = True
+    rc.CLUSTER_BINS = 1
+    rc.ALLOCENTRIC_POSE = True
+    rc.CHAMFER_POSE = True
+    rc.SHARED_FC = True
+    rc.DIMS_PRIORS_ENABLED = True
+    rc.DIMS_PRIORS_FUNC = "exp"     # ['exp', 'sigmoid']
+    rc.DIMS_PRIORS_PRECOMPUTED = False
+    rc.USE_CONFIDENCE = 1.0
+    rc.LOSS_W_3D = 1.0
+    rc.LOSS_W_XY = 1.0
+    rc.LOSS_W_POSE = 7.0
+    rc.LOSS_W_NORMAL_VEC = 20.0
+    rc.LOSS_W_IOU = 1.0
+    rc.LOSS_W_SEG = 2.5
+    rc.LOSS_W_Z = 1.0
+    rc.LOSS_W_DIMS = 20.0
+    rc.LOSS_W_DEPTH = 1.0
+    rc.LOSS_W_JOINT = 1.0
+    rc.SCALE_ROI_BOXES = 0.0
+    rc.TEST = "bas"
+
+    # ---- solver -----------------------------------------------------------
+    c.SOLVER = CfgNode()
+    c.SOLVER.TYPE = "sgd"
+    c.SOLVER.IMS_PER_BATCH = 16
+    c.SOLVER.BASE_LR = 0.001
+    c.SOLVER.STEPS = (60000, 80000)
+    c.SOLVER.MAX_ITER = 90000
+    c.SOLVER.MOMENTUM = 0.9
+    c.SOLVER.NESTEROV = False
+    c.SOLVER.WEIGHT_DECAY = 0.0001
+    c.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    c.SOLVER.GAMMA = 0.1
+    c.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+    c.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    c.SOLVER.WARMUP_ITERS = 1000
+    c.SOLVER.WARMUP_METHOD = "linear"
+    c.SOLVER.CHECKPOINT_PERIOD = 5000
+    c.SOLVER.BIAS_LR_FACTOR = 1.0
+    c.SOLVER.WEIGHT_DECAY_BIAS = None
+    c.SOLVER.CLIP_GRADIENTS = CfgNode()
+    c.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    c.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
+    c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    c.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    c.SOLVER.AMP = CfgNode()
+    c.SOLVER.AMP.ENABLED = False
+
+    # ---- input / data ---------------------------------------------------
+    c.INPUT = CfgNode()
+    c.INPUT.MIN_SIZE_TRAIN = (800,)
+    c.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    c.INPUT.MAX_SIZE_TRAIN = 1333
+    c.INPUT.MIN_SIZE_TEST = 800
+    c.INPUT.MAX_SIZE_TEST = 1333
+    c.INPUT.RANDOM_FLIP = "horizontal"
+    c.INPUT.FORMAT = "BGR"
+
+    c.DATASETS = CfgNode()
+    c.DATASETS.TRAIN = ()
+    c.DATASETS.TEST = ()
+    c.DATASETS.CATEGORY_NAMES = []
+    c.DATASETS.IGNORE_NAMES = []
+    c.DATASETS.TRUNCATION_THRES = 0.99
+    c.DATASETS.VISIBILITY_THRES = 0.01
+    c.DATASETS.MIN_HEIGHT_THRES = 0.00
+    c.DATASETS.MAX_DEPTH = 1e8
+    c.DATASETS.MODAL_2D_BOXES = False
+    c.DATASETS.TRUNC_2D_BOXES = True
+    c.DATASETS.PROPOSAL_FILES_TRAIN = ()
+
+    c.DATALOADER = CfgNode()
+    c.DATALOADER.NUM_WORKERS = 4
+    c.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+    c.DATALOADER.REPEAT_THRESHOLD = 0.0
+    c.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+    c.DATALOADER.BALANCE_DATASETS = False
+
+    # ---- test -----------------------------------------------------------
+    c.TEST = CfgNode()
+    c.TEST.EVAL_PERIOD = 0
+    c.TEST.DETECTIONS_PER_IMAGE = 100
+    c.TEST.VISIBILITY_THRES = 1 / 2.0
+    c.TEST.TRUNCATION_THRES = 1 / 2.0
+
+    # ---- plotting / misc (reference extensions) -------------------------
+    c.PLOT = CfgNode()
+    c.PLOT.OUTPUT_DIR = ""
+    c.PLOT.EVAL = ""
+    c.PLOT.MODE2D = ""
+    c.PLOT.SCORING_FUNC = None
+    c.PLOT.PROPOSAL_FUNC = None
+    c.PLOT.number_of_proposals = 1000
+
+    c.TRAIN = CfgNode()
+    c.TRAIN.pseudo_gt = "learn"
+
+    c.log = False
+    c.loss_functions = ["dims", "pose_alignment", "pose_ground", "iou", "z",
+                        "z_pseudo_gt_patch", "depth"]
+
+    # ---- TPU-native additions (not in the reference schema) -------------
+    c.TPU = CfgNode()
+    c.TPU.MESH_SHAPE = [-1]          # -1 = all devices, data parallel
+    c.TPU.MESH_AXES = ["data"]
+    c.TPU.MAX_GT_PER_IMAGE = 64      # static padding caps
+    c.TPU.MAX_ANCHORS_SAMPLE = 256
+    c.TPU.IMAGE_SIZE = 512           # square padded train resolution
+    c.TPU.COMPUTE_DTYPE = "bfloat16"
+    return c
