@@ -119,3 +119,33 @@ def get_cfg() -> CfgNode:
     the Cube R-CNN extensions (reference cubercnn/config/config.py:4-187)."""
     from .defaults import build_default_cfg
     return build_default_cfg()
+
+
+class StaticCfg:
+    """Opaque config holder for flax module attributes.
+
+    flax.linen converts dict-typed module attributes into FrozenDict, which
+    loses CfgNode's attribute access. This wrapper is a plain object (flax
+    treats it as a static leaf) that proxies attribute access to the
+    underlying CfgNode. Hash/eq are by content digest so jit caching works.
+    """
+
+    def __init__(self, cfg):
+        node = cfg._node if isinstance(cfg, StaticCfg) else cfg
+        object.__setattr__(self, "_node", node)
+        object.__setattr__(self, "_digest", node.dump() if hasattr(node, "dump") else repr(node))
+
+    def __getattr__(self, name):
+        val = getattr(self._node, name)
+        if isinstance(val, CfgNode):
+            return StaticCfg(val)
+        return val
+
+    def __contains__(self, k):
+        return k in self._node
+
+    def __hash__(self):
+        return hash(self._digest)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticCfg) and self._digest == other._digest

@@ -1,0 +1,121 @@
+"""Batch builders: mapped examples -> dense device batches; samplers.
+
+Replaces cubercnn/data/build.py: the training loader with dataset-balancing
+and category repeat-factor sampling (build.py:76-203), and the batched test
+loader (build.py:222-259). Host-side numpy; the resulting batch dict is what
+the jitted train/eval step consumes directly.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..structures import GroundTruth
+from .mapper import DatasetMapper3D
+
+
+def pad_batch(examples: List[Dict]) -> Dict:
+    """Stack mapped examples into one dense batch dict (+ GroundTruth)."""
+    import jax.numpy as jnp
+
+    def stack(key):
+        return jnp.asarray(np.stack([e[key] for e in examples]))
+
+    batch = {
+        "image": stack("image"),
+        "image_wh": stack("image_wh"),
+        "K": stack("K"),
+        "gt": GroundTruth(
+            boxes=stack("gt_boxes"), classes=stack("gt_classes"),
+            valid=stack("gt_valid"), boxes3D=stack("gt_boxes3D"),
+            poses=stack("gt_poses")),
+    }
+    for opt in ("depth_map", "ground_mask"):
+        if opt in examples[0]:
+            batch[opt] = stack(opt)
+    if "ground_valid" in examples[0]:
+        batch["ground_valid"] = jnp.asarray(
+            np.asarray([e["ground_valid"] for e in examples]))
+    batch["image_id"] = np.asarray([e["image_id"] for e in examples])
+    batch["scale"] = np.asarray([e["scale"] for e in examples], np.float32)
+    return batch
+
+
+def repeat_factors_from_category_frequency(records: Sequence[Dict],
+                                           repeat_thresh: float) -> np.ndarray:
+    """d2 RepeatFactorTrainingSampler factors (build.py:158-203 semantics):
+    r(img) = max over its categories of max(1, sqrt(t / f(c)))."""
+    from collections import Counter
+    freq = Counter()
+    n = len(records)
+    for r in records:
+        cats = {a["category_id"] for a in r.get("annotations", [])
+                if not a.get("ignore", False)}
+        freq.update(cats)
+    cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / (f / n)))
+               for c, f in freq.items()}
+    out = np.ones(n, np.float64)
+    for i, r in enumerate(records):
+        cats = {a["category_id"] for a in r.get("annotations", [])
+                if not a.get("ignore", False)}
+        if cats:
+            out[i] = max(cat_rep.get(c, 1.0) for c in cats)
+    return out
+
+
+def build_train_batches(cfg, records: Sequence[Dict],
+                        batch_size: Optional[int] = None,
+                        seed: int = 0,
+                        loaders: Optional[Dict] = None) -> Iterator[Dict]:
+    """Infinite iterator of dense train batches.
+
+    loaders: optional dict of callables {image, depth, ground}(record) ->
+    numpy array, letting callers plug npz pseudo-GT artefacts or synthetic
+    renderers without the mapper knowing the storage format.
+    """
+    mapper = DatasetMapper3D(cfg, is_train=True)
+    rng = np.random.default_rng(seed)
+    bs = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    loaders = loaders or {}
+
+    if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
+        rf = repeat_factors_from_category_frequency(records,
+                                                    cfg.DATALOADER.REPEAT_THRESHOLD)
+        probs = rf / rf.sum()
+    else:
+        probs = np.full(len(records), 1.0 / len(records))
+
+    while True:
+        idx = rng.choice(len(records), size=bs, p=probs)
+        examples = []
+        for i in idx:
+            r = records[i]
+            examples.append(mapper(
+                r, rng,
+                image=loaders.get("image", _default_image)(r),
+                depth_map=loaders["depth"](r) if "depth" in loaders else None,
+                ground_map=loaders["ground"](r) if "ground" in loaders else None))
+        yield pad_batch(examples)
+
+
+def build_test_batches(cfg, records: Sequence[Dict],
+                       batch_size: int = 8,
+                       loaders: Optional[Dict] = None) -> Iterator[Dict]:
+    """Finite iterator over the dataset (last batch padded by repetition;
+    consumers dedupe by image_id)."""
+    mapper = DatasetMapper3D(cfg, is_train=False)
+    loaders = loaders or {}
+    n = len(records)
+    for start in range(0, n, batch_size):
+        chunk = [records[min(i, n - 1)] for i in range(start, start + batch_size)]
+        examples = [mapper(r, image=loaders.get("image", _default_image)(r),
+                           depth_map=loaders["depth"](r) if "depth" in loaders else None,
+                           ground_map=loaders["ground"](r) if "ground" in loaders else None)
+                    for r in chunk]
+        yield pad_batch(examples)
+
+
+def _default_image(record: Dict) -> np.ndarray:
+    from .datasets import read_image
+    return read_image(record["file_name"], record=record)

@@ -1,0 +1,172 @@
+"""Meta-architectures: RCNN3D (supervised) and RCNN3D_combined_features
+(weak), plus the registry-driven build_model.
+
+Re-design of cubercnn/modeling/meta_arch/rcnn3d.py:
+  * RCNN3D (rcnn3d.py:34-263): backbone -> RPN -> ROIHeads3D, per-image
+    intrinsics K threaded to the heads.
+  * RCNN3D_combined_features (rcnn3d.py:265-592): adds depth_map/ground_map
+    plumbing for the weak losses.
+
+TPU-first: the model is a pure function of a padded batch dict; image
+normalisation/padding happens in the data pipeline; anchors are trace-time
+constants derived from the static image size.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures import GroundTruth, Proposals
+from . import anchors as anchor_lib
+from . import rpn as rpn_lib
+from .backbone.build import build_backbone
+from .roi_heads import ROIHeads3D, ROIHeads3DScore
+
+META_ARCH_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_meta_arch(name):
+    def deco(fn):
+        META_ARCH_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+class RCNN3DBase(nn.Module):
+    """Backbone + RPN + 3D ROI heads over a static padded batch."""
+
+    cfg: Any
+    roi_heads_cls: type
+    dims_priors: Optional[np.ndarray] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = build_backbone(cfg, self.dtype)
+        n_anchor = len(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0])
+        self.rpn_head = rpn_lib.RPNHead(num_anchors=n_anchor, dtype=self.dtype)
+        # keep priors as a host numpy constant (jnp arrays as module
+        # attributes leak tracers under jit); converted at use site
+        self.roi_heads = self.roi_heads_cls(
+            cfg=cfg, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            dims_priors=self.dims_priors, dtype=self.dtype)
+
+    def _features_and_proposals(self, batch, train, rng_rpn):
+        cfg = self.cfg
+        feats_dict = self.backbone(batch["image"], train=train)
+        in_feats = list(cfg.MODEL.RPN.IN_FEATURES)
+        feats = [feats_dict[f] for f in in_feats]
+        logits, deltas = self.rpn_head(feats)
+
+        strides = [self.backbone.STRIDES[f] for f in in_feats]
+        anchors_lvl = anchor_lib.pyramid_anchors(
+            [f.shape[1:3] for f in feats], strides,
+            cfg.MODEL.ANCHOR_GENERATOR.SIZES,
+            cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+            cfg.MODEL.ANCHOR_GENERATOR.OFFSET)
+        anchors_all = jnp.concatenate(anchors_lvl, axis=0)
+
+        rpn_loss = {}
+        if train:
+            gt = batch["gt"]
+            lab = rpn_lib.label_and_sample_anchors(
+                rng_rpn, anchors_all, gt,
+                cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+                cfg.MODEL.RPN.POSITIVE_FRACTION,
+                cfg.MODEL.RPN.IOU_THRESHOLDS,
+                [0, -1, 1],
+                cfg.MODEL.RPN.IGNORE_THRESHOLD)
+            rpn_loss = rpn_lib.rpn_losses(
+                anchors_all, jnp.concatenate(logits, 1),
+                jnp.concatenate(deltas, 1), lab,
+                cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+                tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS),
+                cfg.MODEL.RPN.SMOOTH_L1_BETA)
+            rpn_loss = {k: v * cfg.MODEL.RPN.LOSS_WEIGHT for k, v in rpn_loss.items()}
+
+        pre = cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN if train else cfg.MODEL.RPN.PRE_NMS_TOPK_TEST
+        post = cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN if train else cfg.MODEL.RPN.POST_NMS_TOPK_TEST
+        proposals = rpn_lib.select_proposals(
+            anchors_lvl, [jax.lax.stop_gradient(l) for l in logits],
+            [jax.lax.stop_gradient(d) for d in deltas],
+            batch["image_wh"], pre, post, cfg.MODEL.RPN.NMS_THRESH,
+            tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS))
+        return feats_dict, proposals, rpn_loss
+
+
+@register_meta_arch("RCNN3D")
+class RCNN3D(RCNN3DBase):
+    """Supervised meta-arch (rcnn3d.py:34-263)."""
+
+    roi_heads_cls: type = ROIHeads3D
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        if train:
+            r1, r2 = jax.random.split(rng)
+        else:
+            r1 = r2 = None
+        feats, proposals, rpn_loss = self._features_and_proposals(batch, train, r1)
+        if train:
+            losses, metrics = self.roi_heads(
+                feats, proposals, batch["gt"], batch["K"], batch["image_wh"],
+                train=True, rng=r2)
+            losses.update(rpn_loss)
+            return losses, metrics
+        return self.roi_heads(feats, proposals, None, batch["K"],
+                              batch["image_wh"], train=False)
+
+
+@register_meta_arch("RCNN3D_combined_features")
+class RCNN3DCombinedFeatures(RCNN3DBase):
+    """Weak meta-arch with depth/ground-map plumbing (rcnn3d.py:265-592).
+
+    batch extras: depth_map (B, H', W'), ground_mask (B, H', W') bool,
+    ground_valid (B,) — the (1, 1) dummy-marker convention of the reference
+    (rcnn3d.py:375-379) becomes an explicit validity flag.
+    """
+
+    roi_heads_cls: type = ROIHeads3DScore
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        if train:
+            r1, r2 = jax.random.split(rng)
+        else:
+            r1 = r2 = None
+        feats, proposals, rpn_loss = self._features_and_proposals(batch, train, r1)
+        if train:
+            losses, metrics = self.roi_heads(
+                feats, proposals, batch["gt"], batch["K"], batch["image_wh"],
+                depth_maps=batch.get("depth_map"),
+                ground_masks=batch.get("ground_mask"),
+                ground_valid=batch.get("ground_valid"),
+                instance_masks=batch.get("instance_masks"),
+                train=True, rng=r2)
+            losses.update(rpn_loss)
+            return losses, metrics
+        return self.roi_heads(feats, proposals, None, batch["K"],
+                              batch["image_wh"], train=False)
+
+
+def build_model(cfg, priors: Optional[dict] = None, dtype=None):
+    """Registry-driven model construction (rcnn3d.py:594-618).
+
+    priors: dict with 'priors_dims_per_cat' as computed by
+    models/priors.py:compute_priors (or None to disable priors).
+    """
+    from ..config.config import StaticCfg
+    name = cfg.MODEL.META_ARCHITECTURE
+    if name not in META_ARCH_REGISTRY:
+        raise KeyError(f"Unknown meta arch {name}; known: {sorted(META_ARCH_REGISTRY)}")
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    dims_priors = None
+    if priors is not None and cfg.MODEL.ROI_CUBE_HEAD.DIMS_PRIORS_ENABLED:
+        dims_priors = np.asarray(priors["priors_dims_per_cat"], np.float32)
+    return META_ARCH_REGISTRY[name](cfg=StaticCfg(cfg), dims_priors=dims_priors,
+                                    dtype=dtype)
