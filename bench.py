@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: flagship Weak Cube R-CNN (DLA34-FPN) inference throughput on
+one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes no throughput numbers (SURVEY §6).
+The denominator used here is an estimated 12 images/sec for the reference
+PyTorch Cube R-CNN DLA34-FPN inference at 512 px on its thesis hardware
+(1x A40), derived from typical detectron2 DLA34-FPN runtime; BASELINE.json
+targets >= 5x this per chip.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 12.0
+BATCH = 8
+IMAGE_SIZE = 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from weakcube_tpu.config import get_cfg
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.structures import GroundTruth
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "RCNN3D_combined_features"
+    cfg.MODEL.ROI_HEADS.NAME = "ROIHeads3DScore"
+    cfg.MODEL.BACKBONE.NAME = "build_dla_from_vision_fpn_backbone"
+    cfg.MODEL.DLA.TYPE = "dla34"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38  # SUN RGB-D universe
+    cfg.TPU.IMAGE_SIZE = IMAGE_SIZE
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.freeze()
+
+    priors = {"priors_dims_per_cat": np.tile(
+        np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (38, 1, 1))}
+    model = build_model(cfg, priors)
+
+    rng = np.random.default_rng(0)
+    B, S = BATCH, IMAGE_SIZE
+    K = np.tile(np.array([[500.0, 0, S / 2], [0, 500.0, S / 2], [0, 0, 1]],
+                         np.float32), (B, 1, 1))
+    G = 8
+    gt = GroundTruth(
+        boxes=jnp.asarray(rng.uniform(10, S - 60, (B, G, 4)).astype(np.float32)),
+        classes=jnp.zeros((B, G), jnp.int32),
+        valid=jnp.zeros((B, G), bool),
+        boxes3D=jnp.zeros((B, G, 9)),
+        poses=jnp.tile(jnp.eye(3), (B, G, 1, 1)))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32)),
+        "image_wh": jnp.full((B, 2), float(S)),
+        "K": jnp.asarray(K),
+        "gt": gt,
+    }
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=True,
+                           rng=jax.random.PRNGKey(1))
+
+    @jax.jit
+    def forward(variables, batch):
+        det = model.apply(variables, batch, train=False)
+        return det.boxes, det.scores3D, det.centers3D, det.poses3D
+
+    # warmup / compile
+    out = forward(variables, batch)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "weakcube_dla34_fpn_inference_512px",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Evaluation driver: run inference over the test split and compute
+Omni3D 2D/3D AP (the reference's do_test, tools/train_net.py:65-124 +
+inference_on_dataset, omni3d_evaluation.py:523-642)."""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+logger = logging.getLogger("weakcube_tpu.eval")
+
+
+def detections_to_records(det, batch, detections_per_image: int):
+    """Device Detections -> per-image numpy eval records (rescaled to the
+    original resolution, like GeneralizedRCNN._postprocess)."""
+    from weakcube_tpu.ops import cuboids as cub
+    out = []
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    classes = np.asarray(det.classes)
+    valid = np.asarray(det.valid)
+    centers = np.asarray(det.centers3D) if det.centers3D is not None else None
+    dims = np.asarray(det.dims3D) if det.dims3D is not None else None
+    poses = np.asarray(det.poses3D) if det.poses3D is not None else None
+    s3d = np.asarray(det.scores3D) if det.scores3D is not None else scores
+    B = boxes.shape[0]
+    for b in range(B):
+        m = valid[b]
+        scale = float(batch["scale"][b])
+        rec = {
+            "image_id": int(batch["image_id"][b]),
+            "boxes": boxes[b][m] / scale,
+            "scores": s3d[b][m],
+            "classes": classes[b][m],
+        }
+        if centers is not None:
+            import jax.numpy as jnp
+            box3d = np.concatenate([centers[b][m], dims[b][m]], -1)
+            corners = np.asarray(cub.get_cuboid_verts_3d(
+                jnp.asarray(box3d), jnp.asarray(poses[b][m])))
+            rec["centers3D"] = centers[b][m]
+            rec["corners3D"] = corners
+        out.append(rec)
+    return out
+
+
+def gt_records_from_raw(records):
+    """Dataset records -> evaluator GT records (original resolution)."""
+    from weakcube_tpu.ops import cuboids as cub
+    import jax.numpy as jnp
+    out = []
+    for r in records:
+        annos = [a for a in r.get("annotations", [])]
+        boxes = np.asarray([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+        classes = np.asarray([a["category_id"] for a in annos], np.int32)
+        ignore = np.asarray([a.get("ignore", False) for a in annos], bool)
+        centers = np.asarray([a["center_cam"] for a in annos], np.float32).reshape(-1, 3)
+        dims = np.asarray([a["dimensions"] for a in annos], np.float32).reshape(-1, 3)
+        poses = np.asarray([a["pose"] for a in annos], np.float32).reshape(-1, 3, 3)
+        corners = np.asarray(cub.get_cuboid_verts_3d(
+            jnp.asarray(np.concatenate([centers, dims], -1)), jnp.asarray(poses))) \
+            if len(annos) else np.zeros((0, 8, 3), np.float32)
+        out.append({
+            "image_id": r["image_id"], "boxes": boxes, "classes": classes,
+            "ignore": ignore, "centers3D": centers, "corners3D": corners,
+        })
+    return out
+
+
+def do_test(cfg, args, records, loaders, model=None, variables=None,
+            proximity: bool = True, batch_size: int = 8):
+    import jax
+    from weakcube_tpu.data.build import build_test_batches
+    from weakcube_tpu.evaluation import Omni3DEvaluator
+    from weakcube_tpu.models.priors import compute_priors
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel.train_step import make_eval_step
+    from weakcube_tpu.vis.logperf import print_ap_table
+
+    num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    if model is None:
+        priors = compute_priors(cfg, records, num_classes)
+        model = build_model(cfg, priors)
+    if variables is None:
+        from weakcube_tpu.solver.checkpoint import PeriodicCheckpointerOnlyOne
+        ckpt = PeriodicCheckpointerOnlyOne(cfg.OUTPUT_DIR, 1)
+        # restore weights-only from model_final/model_recent
+        first = next(build_test_batches(cfg, records[:batch_size],
+                                        batch_size=batch_size, loaders=loaders))
+        init_vars = model.init({"params": jax.random.PRNGKey(0)}, first,
+                               train=True, rng=jax.random.PRNGKey(1))
+        target = {"params": init_vars["params"],
+                  "batch_stats": init_vars.get("batch_stats", {})}
+        name = "model_final" if os.path.exists(
+            os.path.join(cfg.OUTPUT_DIR, "model_final")) else "model_recent"
+        if os.path.exists(os.path.join(cfg.OUTPUT_DIR, name)):
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.join(os.path.abspath(cfg.OUTPUT_DIR), name))
+            variables = {"params": restored["params"],
+                         "batch_stats": restored.get("batch_stats", {})}
+            logger.info("restored %s", name)
+        else:
+            variables = target
+            logger.warning("no checkpoint found in %s; evaluating random init",
+                           cfg.OUTPUT_DIR)
+
+    eval_step = make_eval_step(model)
+    evaluator = Omni3DEvaluator(num_classes, proximity=proximity)
+    gt_recs = {g["image_id"]: g for g in gt_records_from_raw(records)}
+
+    t0 = time.time()
+    n_img = 0
+    for batch in build_test_batches(cfg, records, batch_size=batch_size,
+                                    loaders=loaders):
+        model_batch = {k: batch[k] for k in
+                       ("image", "image_wh", "K", "gt", "depth_map",
+                        "ground_mask", "ground_valid") if k in batch}
+        det = eval_step(variables["params"], variables["batch_stats"], model_batch)
+        for rec in detections_to_records(det, batch, cfg.TEST.DETECTIONS_PER_IMAGE):
+            if rec["image_id"] in gt_recs:
+                evaluator.add(rec, gt_recs[rec["image_id"]])
+                n_img += 1
+    dt = time.time() - t0
+    logger.info("inference on %d images in %.1fs (%.2f img/s)", n_img, dt,
+                n_img / max(dt, 1e-9))
+
+    results = evaluator.summarize()
+    print_ap_table(results, num_classes)
+    return results
+
+
+if __name__ == "__main__":
+    from train_net import main
+    main(["--eval-only"] + sys.argv[1:])

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Training entry point — capability parity with the reference
+tools/train_net.py (CLI shape, stabilisation/retry semantics, periodic
+eval/checkpoint), re-designed for single-controller JAX SPMD.
+
+Usage (same shape as the reference):
+  python tools/train_net.py --config-file configs/Omni_combined.yaml \
+      [--eval-only] [--resume] [--max-iters N] OPT1 VAL1 OPT2 VAL2 ...
+
+Differences by design (SURVEY §2.4/§2.5): no process launcher — one python
+process drives all local devices through a jax.sharding.Mesh; gradient
+all-reduce, loss averaging and the divergence flag are inside the jitted
+step. The retry-from-checkpoint loop (reference train_net.py:456-493, up to
+MAX_TRAINING_ATTEMPTS) runs here on the host.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+logger = logging.getLogger("weakcube_tpu")
+
+MAX_TRAINING_ATTEMPTS = 10  # reference train_net.py:62
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-iters", type=int, default=None,
+                   help="override SOLVER.MAX_ITER (smoke runs)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N procedurally generated scenes instead of "
+                        "registered datasets (smoke/integration runs)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args(argv)
+
+
+def setup(args):
+    from weakcube_tpu.config import get_cfg
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    if args.max_iters:
+        cfg.SOLVER.MAX_ITER = args.max_iters
+    cfg.freeze()
+    np.random.seed(12 if cfg.SEED < 0 else cfg.SEED)  # reference uses SEED=12
+    return cfg
+
+
+def build_data(cfg, args):
+    """Return (records, loaders, num_classes)."""
+    from weakcube_tpu.data import datasets as ds
+    if args.synthetic:
+        from weakcube_tpu.data import synthetic
+        records = synthetic.make_dataset(args.synthetic, seed=0)
+        loaders = {
+            "image": lambda r: synthetic.render_image(r["_scene"]),
+            "depth": lambda r: synthetic.render_depth(r["_scene"]),
+            "ground": lambda r: synthetic.ground_mask(r["_scene"]),
+        }
+        return records, loaders, len(synthetic.CATEGORIES)
+
+    fs = ds.get_filter_settings_from_cfg(cfg)
+    records = []
+    for name in cfg.DATASETS.TRAIN:
+        if name not in ds.DATASET_CATALOG:
+            ds.simple_register(name, fs)
+        records.extend(ds.DATASET_CATALOG[name]())
+    loaders = {}
+    if any("depth_image_path" in r for r in records):
+        loaders["depth"] = lambda r: ds.load_npz_map(r["depth_image_path"]) \
+            if "depth_image_path" in r else None
+        loaders["ground"] = lambda r: ds.load_npz_map(r["ground_image_path"]) \
+            if "ground_image_path" in r else None
+    return records, loaders, cfg.MODEL.ROI_HEADS.NUM_CLASSES
+
+
+def do_train(cfg, args, records, loaders, num_classes):
+    import jax
+    from weakcube_tpu.data.build import build_train_batches
+    from weakcube_tpu.models.priors import compute_priors
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel import (create_train_state, make_mesh,
+                                       make_train_step, shard_batch)
+    from weakcube_tpu.solver import build_optimizer
+    from weakcube_tpu.solver.checkpoint import (PeriodicCheckpointerOnlyOne,
+                                                load_weights_pretrain)
+
+    priors = compute_priors(cfg, records, num_classes)
+    mesh = make_mesh(list(cfg.TPU.MESH_SHAPE), list(cfg.TPU.MESH_AXES))
+    logger.info("mesh: %s over %d devices", mesh, mesh.size)
+
+    model = build_model(cfg, priors)
+    batches = build_train_batches(cfg, records, loaders=loaders)
+    first = shard_batch(next(batches), mesh)
+
+    rng = jax.random.PRNGKey(12 if cfg.SEED < 0 else cfg.SEED)
+    ckpt = PeriodicCheckpointerOnlyOne(cfg.OUTPUT_DIR, cfg.SOLVER.CHECKPOINT_PERIOD)
+
+    # optimizer param groups need the param tree, so init the model first
+    import jax.numpy as jnp
+    from weakcube_tpu.parallel.train_step import TrainState
+    variables = model.init({"params": rng}, first, train=True,
+                           rng=jax.random.fold_in(rng, 1))
+    params = variables["params"]
+    if cfg.MODEL.WEIGHTS_PRETRAIN:
+        params = load_weights_pretrain(cfg.MODEL.WEIGHTS_PRETRAIN, params)
+        logger.info("warm-started weights from %s", cfg.MODEL.WEIGHTS_PRETRAIN)
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params), loss_ema=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool), skipped=jnp.zeros((), jnp.int32),
+        applied=jnp.zeros((), jnp.int32))
+    state = ckpt.resume_or_load(state, resume=args.resume)
+    start_iter = int(state.step)
+
+    train_step = make_train_step(model, tx)
+    max_iter = cfg.SOLVER.MAX_ITER
+    log_period = 20
+    t0 = time.time()
+
+    attempt = 1
+    it = start_iter
+    while it < max_iter:
+        batch = shard_batch(next(batches), mesh)
+        state, logs = train_step(state, batch, jax.random.fold_in(rng, it))
+        it += 1
+        if it % log_period == 0 or it == max_iter:
+            host_logs = {k: float(v) for k, v in logs.items()}
+            dt = (time.time() - t0) / log_period
+            t0 = time.time()
+            logger.info("iter %d/%d  loss %.4f  (%.2fs/it)  %s", it, max_iter,
+                        host_logs["total_loss"], dt,
+                        " ".join(f"{k}={v:.3f}" for k, v in sorted(host_logs.items())
+                                 if k.startswith(("rpn", "BoxHead", "Cube"))))
+        ckpt.step(it - 1, state)
+
+        # restart-from-checkpoint when too many updates exploded
+        # (reference train_net.py:270-302)
+        half_ckpt = cfg.SOLVER.CHECKPOINT_PERIOD // 2
+        if it % max(half_ckpt, 1) == 0:
+            total = float(state.skipped + state.applied)
+            frac = float(state.skipped) / max(total, 1.0)
+            if frac >= cfg.MODEL.STABILIZE and attempt < MAX_TRAINING_ATTEMPTS:
+                attempt += 1
+                logger.warning("exploded fraction %.3f >= STABILIZE; restarting "
+                               "from last checkpoint (attempt %d)", frac, attempt)
+                state = ckpt.resume_or_load(state, resume=True)
+                state = state.replace(skipped=jnp.zeros((), jnp.int32),
+                                      applied=jnp.zeros((), jnp.int32))
+
+    ckpt.finalize(state)
+    logger.info("training done: %d iters, %d skipped updates",
+                int(state.step), int(state.skipped))
+    return state
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+    # this environment force-registers a remote TPU platform via
+    # sitecustomize; WEAKCUBE_PLATFORM=cpu overrides it for local smoke runs
+    if os.environ.get("WEAKCUBE_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["WEAKCUBE_PLATFORM"])
+    args = parse_args(argv)
+    cfg = setup(args)
+    records, loaders, num_classes = build_data(cfg, args)
+    logger.info("dataset: %d records", len(records))
+    if args.eval_only:
+        from tools.eval_net import do_test
+        return do_test(cfg, args, records, loaders)
+    return do_train(cfg, args, records, loaders, num_classes)
+
+
+if __name__ == "__main__":
+    main()

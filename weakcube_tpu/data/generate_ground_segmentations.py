@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Generate ground-segmentation pseudo-GT artefacts.
+
+Reference: cubercnn/data/generate_ground_segmentations.py — GroundingDINO
+("ground" text prompt, box 0.35 / text 0.25 thresholds) -> max-logit box ->
+SAM-HQ mask; masks under 1000 px -> no-ground list; writes
+datasets/ground_maps/{image_id}.npz + datasets/no_ground_idx.csv.
+
+Methods here:
+  * --method depth-ransac (default, TPU-native): fit the dominant
+    up-facing plane in the depth-map point cloud (ops.plane RANSAC, batched
+    over the mesh) and mark its inliers as ground. Requires depth maps
+    (run generate_depth_maps first). Produces the same artefact format.
+  * --method foundation: GroundingDINO + SAM-HQ JAX graphs (landing in a
+    later round — raises until then).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+
+MIN_MASK_PX = 1000  # reference threshold (:193-199)
+
+
+def ground_from_depth_ransac(depth: np.ndarray, K: np.ndarray,
+                             key, use_nth: int = 4,
+                             thresh: float = 0.08) -> np.ndarray:
+    """Ground mask = inliers of the best up-facing RANSAC plane."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops import plane as plane_ops
+
+    H, W = depth.shape
+    z = depth[::use_nth, ::use_nth]
+    h, w = z.shape
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    fx, fy = K[0, 0] / use_nth, K[1, 1] / use_nth
+    x = (u - w / 2) * z / max(fx, 1e-6)
+    y = (v - h / 2) * z / max(fy, 1e-6)
+    pts = jnp.asarray(np.stack([x, y, z], -1).reshape(-1, 3), jnp.float32)
+    # bias sampling toward the lower half of the image (where ground lives)
+    lower = jnp.asarray((v >= h * 0.4).reshape(-1))
+    eq, inl = plane_ops.ransac_plane(key, pts, valid=lower, thresh=thresh)
+    n = np.asarray(eq[:3])
+    # accept only roughly up-facing planes
+    if abs(n[1]) < max(abs(n[0]), abs(n[2])):
+        return np.zeros((H, W), bool)
+    mask_small = np.asarray(inl).reshape(h, w)
+    # upsample
+    mask = np.zeros((H, W), bool)
+    mask[::1, ::1] = np.kron(mask_small, np.ones((use_nth, use_nth), bool))[:H, :W]
+    return mask
+
+
+def generate(records: Sequence[Dict], out_dir: str, depth_dir: str,
+             method: str = "depth-ransac", artifacts_root: str = "datasets",
+             depth_loader=None) -> None:
+    import jax
+    os.makedirs(out_dir, exist_ok=True)
+    no_ground = []
+    key = jax.random.PRNGKey(0)
+    for i, r in enumerate(records):
+        if depth_loader is not None:
+            depth = depth_loader(r)
+        else:
+            dp = os.path.join(depth_dir, f"{r['image_id']}.npz")
+            if not os.path.exists(dp):
+                no_ground.append(r["image_id"])
+                continue
+            with np.load(dp) as zf:
+                depth = zf[list(zf.keys())[0]].astype(np.float32)
+        if method == "depth-ransac":
+            mask = ground_from_depth_ransac(
+                depth, np.asarray(r["K"], np.float32), jax.random.fold_in(key, i))
+        else:
+            raise NotImplementedError(
+                "foundation-model ground segmentation (GroundingDINO + SAM-HQ "
+                "JAX graphs) lands in a later round; use --method depth-ransac")
+        if mask.sum() < MIN_MASK_PX:
+            no_ground.append(r["image_id"])
+            continue
+        np.savez_compressed(os.path.join(out_dir, f"{r['image_id']}.npz"),
+                            ground=mask)
+    with open(os.path.join(artifacts_root, "no_ground_idx.csv"), "a") as f:
+        w = csv.writer(f)
+        for iid in no_ground:
+            w.writerow([iid])
+    print(f"wrote {len(records) - len(no_ground)} ground maps, "
+          f"{len(no_ground)} no-ground ids")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", default="configs/Omni_combined.yaml")
+    p.add_argument("--method", default="depth-ransac",
+                   choices=["depth-ransac", "foundation"])
+    p.add_argument("--depth-dir", default="datasets/depth_maps")
+    p.add_argument("--out", default="datasets/ground_maps")
+    p.add_argument("--synthetic", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.synthetic:
+        from . import synthetic
+        records = synthetic.make_dataset(args.synthetic)
+        loader = lambda r: synthetic.render_depth(r["_scene"])
+        generate(records, args.out, args.depth_dir, args.method,
+                 depth_loader=loader)
+        return
+    from weakcube_tpu.config import get_cfg
+    from . import datasets as ds
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config_file)
+    fs = ds.get_filter_settings_from_cfg(cfg)
+    records = []
+    for name in list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST):
+        if name not in ds.DATASET_CATALOG:
+            ds.simple_register(name, fs)
+        records.extend(ds.DATASET_CATALOG[name]())
+    generate(records, args.out, args.depth_dir, args.method)
+
+
+if __name__ == "__main__":
+    main()

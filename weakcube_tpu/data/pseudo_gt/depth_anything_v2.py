@@ -1,0 +1,268 @@
+"""Depth Anything V2 (metric) in flax: DINOv2 ViT encoder + DPT head.
+
+Re-design of the vendored reference model (depth/metric_depth/
+depth_anything_v2/dpt.py + dinov2.py, SURVEY §2.2): same architecture
+family — a plain ViT (patch 14, cls token, 4 intermediate taps) feeding a
+DPT decoder (reassemble -> 4-level fusion -> sigmoid * max_depth for metric
+models) — expressed TPU-first:
+  * batched NHWC throughout (the reference infers one image at a time,
+    generate_depth_maps.py:85 — the #1 reason it is slow);
+  * static 518x518 input (multiple of 14), bf16 matmuls on the MXU;
+  * attention as one fused dot-product (no custom CUDA);
+  * torchvision-free preprocessing lives in the caller.
+
+`convert_torch_checkpoint` maps the released .pth state_dicts onto this
+parameter tree (vits/vitb/vitl).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VIT_SPECS = {
+    # embed_dim, depth, heads, dpt_features, dpt_out_channels
+    "vits": (384, 12, 6, 64, (48, 96, 192, 384)),
+    "vitb": (768, 12, 12, 128, (96, 192, 384, 768)),
+    "vitl": (1024, 24, 16, 256, (256, 512, 1024, 1024)),
+}
+# intermediate tap layers per variant (reference dpt.py intermediate_layer_idx)
+TAP_LAYERS = {"vits": (2, 5, 8, 11), "vitb": (2, 5, 8, 11),
+              "vitl": (4, 11, 17, 23)}
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, self.heads, D // self.heads)
+                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
+        q, k, v = q[0], k[0], v[0]                       # (B, H, N, d)
+        scale = (D // self.heads) ** -0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.dim, self.heads, self.dtype, name="attn")(h)
+        ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
+        x = x + h * ls1
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
+        return x + h * ls2
+
+
+class DINOv2(nn.Module):
+    """Plain ViT encoder returning the 4 tapped patch-token maps."""
+
+    variant: str = "vitl"
+    patch: int = 14
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
+        dim, depth, heads, _, _ = VIT_SPECS[self.variant]
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch, W // self.patch
+        tokens = nn.Conv(dim, (self.patch, self.patch),
+                         (self.patch, self.patch), dtype=self.dtype,
+                         name="patch_embed")(x).reshape(B, gh * gw, dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, dim))
+        tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], 1) + pos
+
+        taps = set(TAP_LAYERS[self.variant])
+        outs = []
+        for i in range(depth):
+            tokens = Block(dim, heads, self.dtype, name=f"block{i}")(tokens)
+            if i in taps:
+                outs.append(tokens[:, 1:].reshape(B, gh, gw, dim))
+        return outs
+
+
+class ResidualConvUnit(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(x)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        return x + h
+
+
+def _resize(x, hw):
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear")
+
+
+class DPTHead(nn.Module):
+    """Reassemble + fusion decoder -> metric depth (dpt.py DPTHead)."""
+
+    variant: str = "vitl"
+    max_depth: float = 20.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, taps: Sequence[jnp.ndarray], out_hw: Tuple[int, int]):
+        dim, _, _, features, out_ch = VIT_SPECS[self.variant]
+        B, gh, gw, _ = taps[0].shape
+        # reassemble: project each tap + rescale to strides (4, 2, 1, 0.5)x grid
+        scales = (4, 2, 1, 0.5)
+        levels = []
+        for i, (t, ch, s) in enumerate(zip(taps, out_ch, scales)):
+            h = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"project{i}")(t)
+            hw = (int(gh * s), int(gw * s))
+            h = _resize(h, hw)
+            h = nn.Conv(features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"scratch{i}")(h)
+            levels.append(h)
+
+        # top-down fusion (refinenet): coarsest first
+        fused = None
+        for i in range(3, -1, -1):
+            h = levels[i]
+            if fused is not None:
+                fused = _resize(fused, h.shape[1:3])
+                h = h + ResidualConvUnit(features, self.dtype,
+                                         name=f"rcu_skip{i}")(fused)
+            h = ResidualConvUnit(features, self.dtype, name=f"rcu_out{i}")(h)
+            fused = h
+        fused = _resize(fused, (out_hw[0] // 2, out_hw[1] // 2))
+        h = nn.Conv(features // 2, (3, 3), padding=1, dtype=self.dtype,
+                    name="out_conv1")(fused)
+        h = _resize(h, out_hw)
+        h = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="out_conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_conv3")(h)
+        # metric head: sigmoid * max_depth (dpt.py:152-185)
+        return jax.nn.sigmoid(h.astype(jnp.float32))[..., 0] * self.max_depth
+
+
+class DepthAnythingV2(nn.Module):
+    """Metric depth model; input (B, H, W, 3) ImageNet-normalised, H/W
+    multiples of 14 (inference canon: 518)."""
+
+    variant: str = "vitl"
+    max_depth: float = 20.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        taps = DINOv2(self.variant, dtype=self.dtype, name="backbone")(x)
+        return DPTHead(self.variant, self.max_depth, self.dtype,
+                       name="head")(taps, x.shape[1:3])
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_torch_checkpoint(state_dict: Dict[str, "np.ndarray"],
+                             variant: str = "vitl") -> Dict:
+    """Map a released depth_anything_v2_metric_*.pth state_dict onto this
+    parameter tree. Accepts numpy-valued dicts (call .numpy() on torch
+    tensors upstream). Returns a flax params dict.
+    """
+    dim, depth, heads, features, out_ch = VIT_SPECS[variant]
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: Dict = {"backbone": {}, "head": {}}
+    bb = p["backbone"]
+
+    def conv_kernel(w):  # torch OIHW -> flax HWIO
+        return np.transpose(w, (2, 3, 1, 0))
+
+    bb["patch_embed"] = {
+        "kernel": conv_kernel(sd["pretrained.patch_embed.proj.weight"]),
+        "bias": sd["pretrained.patch_embed.proj.bias"]}
+    bb["cls_token"] = sd["pretrained.cls_token"]
+    bb["pos_embed"] = sd["pretrained.pos_embed"]
+    for i in range(depth):
+        pre = f"pretrained.blocks.{i}."
+        blk = {
+            "norm1": {"scale": sd[pre + "norm1.weight"], "bias": sd[pre + "norm1.bias"]},
+            "norm2": {"scale": sd[pre + "norm2.weight"], "bias": sd[pre + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[pre + "attn.qkv.weight"].T,
+                        "bias": sd[pre + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[pre + "attn.proj.weight"].T,
+                         "bias": sd[pre + "attn.proj.bias"]},
+            },
+            "mlp_fc1": {"kernel": sd[pre + "mlp.fc1.weight"].T,
+                        "bias": sd[pre + "mlp.fc1.bias"]},
+            "mlp_fc2": {"kernel": sd[pre + "mlp.fc2.weight"].T,
+                        "bias": sd[pre + "mlp.fc2.bias"]},
+            "ls1_gamma": sd.get(pre + "ls1.gamma", np.ones(dim, np.float32)),
+            "ls2_gamma": sd.get(pre + "ls2.gamma", np.ones(dim, np.float32)),
+        }
+        bb[f"block{i}"] = blk
+
+    hd = p["head"]
+    for i in range(4):
+        hd[f"project{i}"] = {
+            "kernel": conv_kernel(sd[f"depth_head.projects.{i}.weight"]),
+            "bias": sd[f"depth_head.projects.{i}.bias"]}
+        hd[f"scratch{i}"] = {
+            "kernel": conv_kernel(sd[f"depth_head.scratch.layer{i + 1}_rn.weight"])}
+    for i in range(4):
+        rn = f"depth_head.scratch.refinenet{i + 1}."
+        hd[f"rcu_skip{i}"] = {
+            "conv1": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv1.weight"]),
+                      "bias": sd[rn + "resConfUnit1.conv1.bias"]},
+            "conv2": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv2.weight"]),
+                      "bias": sd[rn + "resConfUnit1.conv2.bias"]}}
+        hd[f"rcu_out{i}"] = {
+            "conv1": {"kernel": conv_kernel(sd[rn + "resConfUnit2.conv1.weight"]),
+                      "bias": sd[rn + "resConfUnit2.conv1.bias"]},
+            "conv2": {"kernel": conv_kernel(sd[rn + "resConfUnit2.conv2.weight"]),
+                      "bias": sd[rn + "resConfUnit2.conv2.bias"]}}
+    hd["out_conv1"] = {
+        "kernel": conv_kernel(sd["depth_head.scratch.output_conv1.weight"]),
+        "bias": sd["depth_head.scratch.output_conv1.bias"]}
+    hd["out_conv2"] = {
+        "kernel": conv_kernel(sd["depth_head.scratch.output_conv2.0.weight"]),
+        "bias": sd["depth_head.scratch.output_conv2.0.bias"]}
+    hd["out_conv3"] = {
+        "kernel": conv_kernel(sd["depth_head.scratch.output_conv2.2.weight"]),
+        "bias": sd["depth_head.scratch.output_conv2.2.bias"]}
+    return p
+
+
+def preprocess_images(images: Sequence[np.ndarray],
+                      input_size: int = 518) -> np.ndarray:
+    """Batched ImageNet-normalised square inputs (the reference's
+    infer_image resize-to-518, multiple-of-14, dpt.py:188-222)."""
+    from PIL import Image
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    out = np.zeros((len(images), input_size, input_size, 3), np.float32)
+    for i, img in enumerate(images):
+        pil = Image.fromarray(img.astype(np.uint8))
+        out[i] = np.asarray(pil.resize((input_size, input_size),
+                                       Image.BICUBIC), np.float32) / 255.0
+        out[i] = (out[i] - mean) / std
+    return out

@@ -17,7 +17,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..ops import cuboids as cub_ops
 
 CATEGORIES = ["chair", "table", "sofa", "bed", "cabinet"]
 GROUND_Y = 1.2  # metres below camera (y down)
@@ -42,15 +41,23 @@ def make_scene(rng: np.random.Generator, width: int = 640, height: int = 480,
         y = GROUND_Y - dims[1] / 2.0  # resting on ground
         R = _yaw_matrix(rng.uniform(0, 2 * np.pi))
         ctr = np.array([x, y, z], np.float32)
-        box3d = np.concatenate([ctr, dims])
-        import jax.numpy as jnp
-        box2d, behind, fully = cub_ops.convert_3d_box_to_2d(
-            jnp.asarray(K), jnp.asarray(box3d), jnp.asarray(R),
-            width, height, XYWH=False)
-        b = np.asarray(box2d)
+        # pure-numpy projection (host-side data generation must not touch
+        # the accelerator: every tiny jax op is a device roundtrip here)
+        signs = np.array([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                          [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+                         np.float32)
+        half = 0.5 * np.array([dims[2], dims[1], dims[0]], np.float32)
+        corners = (signs * half) @ R.T + ctr
+        proj = corners @ K.T
+        behind_pts = proj[:, 2] <= 0.2
+        uv = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-6)
+        b = np.array([uv[:, 0].min(), uv[:, 1].min(),
+                      uv[:, 0].max(), uv[:, 1].max()], np.float32)
+        behind = bool(behind_pts.any())
+        fully = bool(behind_pts.all())
         b[[0, 2]] = b[[0, 2]].clip(0, width - 1)
         b[[1, 3]] = b[[1, 3]].clip(0, height - 1)
-        if bool(fully) or (b[2] - b[0]) < 8 or (b[3] - b[1]) < 8:
+        if fully or (b[2] - b[0]) < 8 or (b[3] - b[1]) < 8:
             continue
         objs.append({
             "category_id": cat,

@@ -151,7 +151,7 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
 
     # dims priors (roi_heads.py:850-865)
     if cfg_head.DIMS_PRIORS_ENABLED and dims_priors is not None:
-        pri = dims_priors[cls]              # (B, S, 2, 3)
+        pri = jnp.asarray(dims_priors)[cls]  # (B, S, 2, 3); trace-time constant
         mean, std = pri[..., 0, :], pri[..., 1, :]
         if cfg_head.DIMS_PRIORS_FUNC == "sigmoid":
             lo = jnp.clip(mean - 3 * std, 0.0)
@@ -333,7 +333,7 @@ def pseudo_gt_z_box_loss(depth_maps, proj_boxes, z, image_wh):
 def dims_prior_loss(dims, classes, dims_priors):
     """Hinged z-score of dims vs per-category priors (roi_heads.py:612-633).
     Returns (B, S, 3) per-axis scores."""
-    pri = dims_priors[jnp.clip(classes, 0, dims_priors.shape[0] - 1)]
+    pri = jnp.asarray(dims_priors)[jnp.clip(classes, 0, dims_priors.shape[0] - 1)]
     mean, std = pri[..., 0, :], pri[..., 1, :]
     score = jnp.abs(dims - mean) / jnp.maximum(std, 1e-6)
     return jnp.maximum(score - 1.0, 0.0)

@@ -1,0 +1,120 @@
+"""Sharded train/eval steps with the reference's stabilisation semantics.
+
+Re-design of the reference train loop internals (tools/train_net.py:127-330):
+  * loss-explosion detection vs a rolling mean (GAMMA=0.02) and non-finite
+    guards (:165-220) — here a pure function of TrainState carried EMA; the
+    skip decision is identical on every device under SPMD, so the
+    explicit `dist.all_reduce(diverging)` (:248-261) disappears;
+  * NaN/Inf gradient scan (:228-244) -> one jnp.isfinite all-reduce over the
+    grad pytree, update skipped via lax masking (no host sync);
+  * gradient all-reduce: implicit in jit over the data-sharded batch;
+  * `allreduce_dict` loss logging (:497-524) -> losses are already global
+    means of the sharded batch.
+
+The retry-from-checkpoint outer loop (attempt counting, :456-493) lives in
+the host-side trainer (tools/train_net.py here), as SURVEY §7.2 prescribes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+GAMMA = 0.02            # rolling-mean smoothing (train_net.py:165)
+EXPLOSION_FACTOR = 4.0  # loss > 4x rolling mean -> diverging (:202-220)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    loss_ema: jnp.ndarray        # rolling mean of the total loss
+    ema_init: jnp.ndarray        # whether the EMA has been seeded
+    skipped: jnp.ndarray         # count of skipped (diverging) updates
+    applied: jnp.ndarray         # count of applied updates
+
+
+def create_train_state(model, tx, batch, rng) -> Tuple[TrainState, Any]:
+    variables = model.init({"params": rng}, batch, train=True,
+                           rng=jax.random.fold_in(rng, 1))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        loss_ema=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool),
+        skipped=jnp.zeros((), jnp.int32),
+        applied=jnp.zeros((), jnp.int32),
+    ), variables
+
+
+def make_train_step(model, tx) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, logs)."""
+
+    def step_fn(state: TrainState, batch, rng):
+        def loss_fn(params):
+            (losses, metrics), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, rng=rng, mutable=["batch_stats"])
+            total = jnp.sum(jnp.stack([v for v in losses.values()]))
+            return total, (losses, metrics, mut)
+
+        (total, (losses, metrics, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # ---- stabilisation ------------------------------------------------
+        ema = jnp.where(state.ema_init, state.loss_ema, total)
+        diverging = (~jnp.isfinite(total)) | (total > EXPLOSION_FACTOR *
+                                              jnp.maximum(ema, 1e-8))
+        grad_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True))
+        skip = diverging | ~grad_finite
+
+        # clip the recorded loss into [0, 1] when diverging (train_net.py:210)
+        recorded = jnp.where(diverging, jnp.clip(total, 0.0, 1.0), total)
+        new_ema = jnp.where(state.ema_init,
+                            ema * (1 - GAMMA) + GAMMA * recorded, recorded)
+
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(skip | ~jnp.isfinite(g), 0.0, g), grads)
+        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # on skip: keep everything (optimizer state too, like zero_grad+no-step)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new), new_params, state.params)
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new), new_opt, state.opt_state)
+        new_bs = mut.get("batch_stats", state.batch_stats)
+        new_bs = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(skip, old, new), new_bs, state.batch_stats)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, loss_ema=new_ema,
+            ema_init=jnp.ones((), bool),
+            skipped=state.skipped + skip.astype(jnp.int32),
+            applied=state.applied + (1 - skip.astype(jnp.int32)))
+
+        logs = dict(losses)
+        logs.update(metrics)
+        logs["total_loss"] = total
+        logs["diverging"] = diverging.astype(jnp.float32)
+        logs["grad_finite"] = grad_finite.astype(jnp.float32)
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model) -> Callable:
+    def eval_fn(params, batch_stats, batch):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch, train=False)
+    return jax.jit(eval_fn)
