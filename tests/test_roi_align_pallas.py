@@ -1,0 +1,38 @@
+"""Pallas ROIAlign vs the XLA gather formulation (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weakcube_tpu.ops import roi_align as ra
+
+
+def _xla_single(features, boxes, strides, out_size=7):
+    batched = [f[None] for f in features]
+    return ra.multilevel_roi_align(batched, boxes[None], strides, out_size)[0]
+
+
+class TestPallasROIAlign:
+    @pytest.fixture()
+    def data(self):
+        rng = np.random.default_rng(0)
+        strides = (4, 8, 16, 32, 64)
+        feats = [jnp.asarray(rng.normal(size=(256 // s, 256 // s, 8))
+                             .astype(np.float32)) for s in strides]
+        # RoIs of assorted scales, within bounds
+        xy = rng.uniform(8, 150, (16, 2))
+        wh = rng.uniform(16, 100, (16, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        return feats, boxes, strides
+
+    def test_matches_xla_gather(self, data, monkeypatch):
+        feats, boxes, strides = data
+        from weakcube_tpu.ops import roi_align_pallas as rap
+        # interpret mode so the kernel runs on CPU in tests
+        orig = rap.pl.pallas_call
+        monkeypatch.setattr(rap.pl, "pallas_call",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+        got = rap.roi_align_pallas_single(feats, boxes, strides)
+        want = _xla_single(feats, boxes, strides)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)

@@ -132,14 +132,22 @@ def do_train(cfg, args, records, loaders, num_classes):
     log_period = 20
     t0 = time.time()
 
+    from weakcube_tpu.utils.events import EventStorage, default_writers
+    storage = EventStorage(start_iter)
+    writers = default_writers(cfg.OUTPUT_DIR, use_wandb=bool(cfg.log))
+
     attempt = 1
     it = start_iter
     while it < max_iter:
         batch = shard_batch(next(batches), mesh)
         state, logs = train_step(state, batch, jax.random.fold_in(rng, it))
         it += 1
+        storage.step()
         if it % log_period == 0 or it == max_iter:
             host_logs = {k: float(v) for k, v in logs.items()}
+            storage.put_scalars(**host_logs)
+            for w in writers:
+                w.write(storage)
             dt = (time.time() - t0) / log_period
             t0 = time.time()
             logger.info("iter %d/%d  loss %.4f  (%.2fs/it)  %s", it, max_iter,
@@ -163,6 +171,8 @@ def do_train(cfg, args, records, loaders, num_classes):
                                       applied=jnp.zeros((), jnp.int32))
 
     ckpt.finalize(state)
+    for w in writers:
+        w.close()
     logger.info("training done: %d iters, %d skipped updates",
                 int(state.step), int(state.skipped))
     return state

@@ -56,6 +56,30 @@ def _build_dla(cfg, dtype) -> Backbone:
                     cfg.MODEL.FPN.OUT_CHANNELS, cfg.MODEL.FPN.FUSE_TYPE, dtype)
 
 
+@register_backbone("build_shufflenet_fpn_backbone")
+def _build_shufflenet(cfg, dtype) -> Backbone:
+    from .small_nets import ShuffleNetV2BottomUp
+    bu = ShuffleNetV2BottomUp(dtype=dtype, name="bottom_up")
+    return Backbone(bu, tuple(cfg.MODEL.FPN.IN_FEATURES),
+                    cfg.MODEL.FPN.OUT_CHANNELS, cfg.MODEL.FPN.FUSE_TYPE, dtype)
+
+
+@register_backbone("build_mnasnet_fpn_backbone")
+def _build_mnasnet(cfg, dtype) -> Backbone:
+    from .small_nets import MNASNetBottomUp
+    bu = MNASNetBottomUp(dtype=dtype, name="bottom_up")
+    return Backbone(bu, tuple(cfg.MODEL.FPN.IN_FEATURES),
+                    cfg.MODEL.FPN.OUT_CHANNELS, cfg.MODEL.FPN.FUSE_TYPE, dtype)
+
+
+@register_backbone("build_densenet_fpn_backbone")
+def _build_densenet(cfg, dtype) -> Backbone:
+    from .small_nets import DenseNetBottomUp
+    bu = DenseNetBottomUp(dtype=dtype, name="bottom_up")
+    return Backbone(bu, tuple(cfg.MODEL.FPN.IN_FEATURES),
+                    cfg.MODEL.FPN.OUT_CHANNELS, cfg.MODEL.FPN.FUSE_TYPE, dtype)
+
+
 def build_backbone(cfg, dtype=jnp.float32) -> Backbone:
     name = cfg.MODEL.BACKBONE.NAME
     if name not in BACKBONE_REGISTRY:
