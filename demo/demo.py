@@ -102,7 +102,7 @@ def main(argv=None):
         batch = pad_batch([example])
         if variables is None:
             variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
-                                   train=True, rng=jax.random.PRNGKey(1))
+                                   train=False)
             # load weights if configured
             if cfg.MODEL.WEIGHTS:
                 import orbax.checkpoint as ocp

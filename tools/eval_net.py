@@ -94,7 +94,7 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
         first = next(build_test_batches(cfg, records[:batch_size],
                                         batch_size=batch_size, loaders=loaders))
         init_vars = model.init({"params": jax.random.PRNGKey(0)}, first,
-                               train=True, rng=jax.random.PRNGKey(1))
+                               train=False)
         target = {"params": init_vars["params"],
                   "batch_stats": init_vars.get("batch_stats", {})}
         name = "model_final" if os.path.exists(

@@ -235,4 +235,5 @@ def build_default_cfg() -> CfgNode:
     c.TPU.MAX_ANCHORS_SAMPLE = 256
     c.TPU.IMAGE_SIZE = 512           # square padded train resolution
     c.TPU.COMPUTE_DTYPE = "bfloat16"
+    c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
     return c

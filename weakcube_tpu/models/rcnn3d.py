@@ -42,6 +42,8 @@ class RCNN3DBase(nn.Module):
     cfg: Any
     roi_heads_cls: type
     dims_priors: Optional[np.ndarray] = None
+    z_scales: Optional[np.ndarray] = None
+    z_stats: Optional[np.ndarray] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -49,11 +51,12 @@ class RCNN3DBase(nn.Module):
         self.backbone = build_backbone(cfg, self.dtype)
         n_anchor = len(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0])
         self.rpn_head = rpn_lib.RPNHead(num_anchors=n_anchor, dtype=self.dtype)
-        # keep priors as a host numpy constant (jnp arrays as module
+        # keep priors as host numpy constants (jnp arrays as module
         # attributes leak tracers under jit); converted at use site
         self.roi_heads = self.roi_heads_cls(
             cfg=cfg, num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
-            dims_priors=self.dims_priors, dtype=self.dtype)
+            dims_priors=self.dims_priors, z_scales=self.z_scales,
+            z_stats=self.z_stats, dtype=self.dtype)
 
     def _features_and_proposals(self, batch, train, rng_rpn):
         cfg = self.cfg
@@ -165,8 +168,12 @@ def build_model(cfg, priors: Optional[dict] = None, dtype=None):
         raise KeyError(f"Unknown meta arch {name}; known: {sorted(META_ARCH_REGISTRY)}")
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
-    dims_priors = None
+    dims_priors = z_scales = z_stats = None
     if priors is not None and cfg.MODEL.ROI_CUBE_HEAD.DIMS_PRIORS_ENABLED:
         dims_priors = np.asarray(priors["priors_dims_per_cat"], np.float32)
+    if priors is not None and cfg.MODEL.ROI_CUBE_HEAD.CLUSTER_BINS > 1:
+        z_scales = np.asarray(priors["priors_z_scales"], np.float32)
+        z_stats = np.asarray(priors["priors_z_stats"], np.float32)
     return META_ARCH_REGISTRY[name](cfg=StaticCfg(cfg), dims_priors=dims_priors,
+                                    z_scales=z_scales, z_stats=z_stats,
                                     dtype=dtype)

@@ -123,11 +123,15 @@ class CubeDecode(NamedTuple):
 
 def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
                             classes, roi_boxes, K, cfg_head,
-                            dims_priors: Optional[jnp.ndarray]) -> CubeDecode:
+                            dims_priors: Optional[jnp.ndarray],
+                            z_scales: Optional[jnp.ndarray] = None,
+                            z_stats: Optional[jnp.ndarray] = None) -> CubeDecode:
     """Per-class selection + decode to metric cubes (roi_heads.py:809-935).
 
     All inputs are (B, S, C, ...) head outputs; classes (B, S) selects the
     per-class slice. K: (B, 3, 3) at network resolution.
+    z_scales/z_stats: (C, bins) / (C, bins, 2) cluster priors when
+    CLUSTER_BINS > 1 (roi_heads.py:824-845, 874-902).
     """
     B, S = classes.shape
     cls = jnp.clip(classes, 0, deltas_2d.shape[2] - 1)
@@ -139,7 +143,24 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
     d2d = sel(deltas_2d)                    # (B, S, 2)
     dims_norm = sel(dims_raw)               # (B, S, 3)
     pose_allo = sel(pose_raw)               # (B, S, 3, 3)
-    z = sel(z_raw[..., None])[..., 0] if z_raw.ndim == 3 else sel(z_raw)
+
+    assignments = None
+    if cfg_head.CLUSTER_BINS > 1 and z_scales is not None:
+        # assign each RoI to its closest 2D-scale cluster per its class
+        # (roi_heads.py:824-838): src_scales = diag length of the RoI box
+        w = roi_boxes[..., 2] - roi_boxes[..., 0]
+        h = roi_boxes[..., 3] - roi_boxes[..., 1]
+        src_scales = jnp.sqrt(w * w + h * h)            # (B, S)
+        zs = jnp.asarray(z_scales)[cls]                 # (B, S, bins)
+        assignments = jnp.argmin(jnp.abs(zs - src_scales[..., None]), -1)
+        # z_raw is (B, S, bins, C): pick (bin, class)
+        z_bc = jnp.take_along_axis(
+            z_raw, cls[..., None, None].repeat(z_raw.shape[2], 2), axis=3)[..., 0]
+        z = jnp.take_along_axis(z_bc, assignments[..., None], -1)[..., 0]
+    elif z_raw.ndim == 3:
+        z = sel(z_raw[..., None])[..., 0]
+    else:
+        z = sel(z_raw)
     unc = sel(uncert[..., None])[..., 0] if uncert is not None else jnp.zeros((B, S))
 
     w = roi_boxes[..., 2] - roi_boxes[..., 0]
@@ -175,6 +196,18 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
         z_norm = jax.nn.sigmoid(z_norm)
     elif cfg_head.Z_TYPE == "log":
         z = jnp.exp(z)
+    elif cfg_head.Z_TYPE == "clusters" and z_stats is not None \
+            and assignments is not None:
+        # scaled sigmoid into +-3 sigma of the assigned cluster's depth
+        # statistics (roi_heads.py:886-902)
+        stats = jnp.asarray(z_stats)[cls]               # (B, S, bins, 2)
+        stats = jnp.take_along_axis(
+            stats, assignments[..., None, None].repeat(2, -1), axis=2)[:, :, 0]
+        z_means = jax.lax.stop_gradient(stats[..., 0])
+        z_stds = jax.lax.stop_gradient(stats[..., 1])
+        lo = jnp.clip(z_means - 3 * z_stds, 0.0)
+        hi = z_means + 3 * z_stds
+        z = cuboids.scaled_sigmoid(z, lo, hi)
 
     fy = K[:, 1, 1]
     v2r = (cfg_head.VIRTUAL_FOCAL / jnp.maximum(fy, 1e-6))[:, None] \
@@ -441,8 +474,9 @@ class ROIHeadsCommon(nn.Module):
 
     cfg: Any
     num_classes: int
-    dims_priors: Optional[jnp.ndarray] = None  # (C, 2, 3) [mean, std]
-    priors_dims_mean_std: Optional[jnp.ndarray] = None
+    dims_priors: Optional[Any] = None   # (C, 2, 3) [mean, std], host numpy
+    z_scales: Optional[Any] = None      # (C, bins) cluster 2D scales
+    z_stats: Optional[Any] = None       # (C, bins, 2) cluster z mean/std
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -458,9 +492,16 @@ class ROIHeadsCommon(nn.Module):
 
     # ---- pooling ---------------------------------------------------------
     def _pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray,
-              resolution: int) -> jnp.ndarray:
+              resolution: int, inference: bool = False) -> jnp.ndarray:
         feats = [features[f] for f in self.cfg.MODEL.ROI_HEADS.IN_FEATURES]
         strides = FPN_STRIDES[:len(feats)]
+        use_pallas = ("USE_PALLAS_ROI_ALIGN" in self.cfg.TPU
+                      and self.cfg.TPU.USE_PALLAS_ROI_ALIGN)
+        if inference and use_pallas:
+            # forward-only Pallas kernel (no VJP): inference path only
+            from ..ops.roi_align_pallas import multilevel_roi_align_pallas
+            f32 = [f.astype(jnp.float32) for f in feats]
+            return multilevel_roi_align_pallas(f32, boxes, strides, resolution)
         return multilevel_roi_align(feats, boxes, strides, resolution)
 
     def _scale_boxes(self, boxes):
@@ -495,7 +536,8 @@ class ROIHeadsCommon(nn.Module):
 
     def forward_box_inference(self, features, proposals: Proposals, image_wh):
         pooled = self._pool(features, proposals.boxes,
-                            self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
+                            self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+                            inference=True)
         x = self.box_head(pooled)
         scores, deltas = self.box_predictor(x)
         boxes_pc = predict_boxes(deltas, proposals.boxes, self.num_classes,
@@ -508,18 +550,21 @@ class ROIHeadsCommon(nn.Module):
         return det, roi_sel
 
     # ---- cube branch plumbing --------------------------------------------
-    def run_cube_head(self, features, boxes, classes, K):
+    def run_cube_head(self, features, boxes, classes, K, inference: bool = False):
         rc = self.cfg.MODEL.ROI_CUBE_HEAD
-        pooled = self._pool(features, self._scale_boxes(boxes), rc.POOLER_RESOLUTION)
+        pooled = self._pool(features, self._scale_boxes(boxes),
+                            rc.POOLER_RESOLUTION, inference=inference)
         deltas_2d, z_raw, dims_raw, pose_raw, uncert = self.cube_head(pooled)
         return decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw,
                                        uncert, classes, boxes, K, rc,
-                                       self.dims_priors)
+                                       self.dims_priors, self.z_scales,
+                                       self.z_stats)
 
     def cube_inference(self, features, det: Detections, K,
                        image_ratio: jnp.ndarray) -> Detections:
         """Attach 3D fields to 2D detections (roi_heads.py:2063-2120)."""
-        dec = self.run_cube_head(features, det.boxes, det.classes, K)
+        dec = self.run_cube_head(features, det.boxes, det.classes, K,
+                                 inference=True)
         conf = jnp.exp(-dec.uncert)
         score3d = jnp.sqrt(jnp.maximum(det.scores * conf, 0.0))
         return det._replace(centers3D=dec.cubes.centers, dims3D=dec.dims,

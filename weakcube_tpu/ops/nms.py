@@ -39,17 +39,30 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     svalid = valid[order]
 
     iou = pairwise_iou(sboxes, sboxes)
-    suppress = iou > iou_threshold  # (N, N), symmetric; diag True
+    # strict upper-triangle mask: row j suppresses column i only if j ranks
+    # higher (j < i in score order)
+    earlier = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    suppress = (iou > iou_threshold) & earlier          # (j, i)
 
-    def body(kept_so_far, i):
-        # a box is kept iff valid and no *kept* earlier box suppresses it
-        earlier = jnp.arange(n) < i
-        killed = jnp.any(suppress[i] & kept_so_far & earlier)
-        keep_i = svalid[i] & ~killed
-        kept_so_far = kept_so_far.at[i].set(keep_i)
-        return kept_so_far, keep_i
+    # Exact greedy NMS as a FIXED-POINT of matrix passes instead of an
+    # N-step sequential scan (the TPU-hostile part of greedy NMS): start
+    # with every valid box kept; each pass kills boxes dominated by a
+    # currently-kept higher-ranked box. A box's final state is correct once
+    # its suppression CHAIN depth is reached, so the loop converges in
+    # max-chain-depth passes (typically < 8, worst case n) — each pass is
+    # one (n, n) masked reduction on the VPU rather than n dependent steps.
+    def cond(state):
+        kept, prev, i = state
+        return jnp.any(kept != prev) & (i < n)
 
-    kept, _ = jax.lax.scan(body, jnp.zeros((n,), dtype=bool), jnp.arange(n))
+    def body(state):
+        kept, _, i = state
+        killed = jnp.any(suppress & kept[:, None], axis=0)
+        new = svalid & ~killed
+        return new, kept, i + 1
+
+    init = (svalid, ~svalid, jnp.int32(0))
+    kept, _, _ = jax.lax.while_loop(cond, body, init)
     # scatter back to original order
     keep = jnp.zeros((n,), dtype=bool).at[order].set(kept)
     return keep
