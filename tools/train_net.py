@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N procedurally generated scenes instead of "
                         "registered datasets (smoke/integration runs)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of iterations 10-20 "
+                        "into OUTPUT_DIR/profile")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 
@@ -53,6 +56,12 @@ def setup(args):
         cfg.merge_from_list(args.opts)
     if args.max_iters:
         cfg.SOLVER.MAX_ITER = args.max_iters
+    # the Pallas ROIAlign kernel (inference path) needs a real TPU backend
+    # and the 32-unit window bound (images <= ~720 px)
+    import jax
+    if "USE_PALLAS_ROI_ALIGN" not in dict(cfg.TPU) or not cfg.TPU.USE_PALLAS_ROI_ALIGN:
+        cfg.TPU.USE_PALLAS_ROI_ALIGN = (
+            jax.default_backend() == "tpu" and cfg.TPU.IMAGE_SIZE <= 720)
     cfg.freeze()
     np.random.seed(12 if cfg.SEED < 0 else cfg.SEED)  # reference uses SEED=12
     return cfg
@@ -139,10 +148,36 @@ def do_train(cfg, args, records, loaders, num_classes):
     attempt = 1
     it = start_iter
     while it < max_iter:
+        if args.profile and it == start_iter + 10:
+            jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR, "profile"))
         batch = shard_batch(next(batches), mesh)
         state, logs = train_step(state, batch, jax.random.fold_in(rng, it))
         it += 1
         storage.step()
+        if args.profile and it == start_iter + 20:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s/profile", cfg.OUTPUT_DIR)
+
+        # periodic visual dumps of GT scenes (reference VIS_PERIOD images,
+        # rcnn3d.py:126-263: GT vs proposals/predictions)
+        if cfg.VIS_PERIOD > 0 and it % cfg.VIS_PERIOD == 0:
+            try:
+                _dump_train_vis(cfg, batch, it)
+            except Exception as e:  # vis must never kill training
+                logger.warning("train vis failed: %s", e)
+
+        # periodic evaluation (reference do_test every TEST.EVAL_PERIOD)
+        if cfg.TEST.EVAL_PERIOD > 0 and it % cfg.TEST.EVAL_PERIOD == 0 \
+                and it < max_iter:
+            try:
+                from tools.eval_net import do_test
+                variables_now = {"params": jax.device_get(state.params),
+                                 "batch_stats": jax.device_get(state.batch_stats)}
+                do_test(cfg, args, records, loaders, model=model,
+                        variables=variables_now)
+            except Exception as e:
+                logger.warning("periodic eval failed: %s", e)
         if it % log_period == 0 or it == max_iter:
             host_logs = {k: float(v) for k, v in logs.items()}
             storage.put_scalars(**host_logs)
@@ -176,6 +211,24 @@ def do_train(cfg, args, records, loaders, num_classes):
     logger.info("training done: %d iters, %d skipped updates",
                 int(state.step), int(state.skipped))
     return state
+
+
+def _dump_train_vis(cfg, batch, it):
+    """GT-overlay snapshot of the first batch image (vis/, CPU-side)."""
+    import numpy as np
+    from weakcube_tpu.vis.vis import draw_boxes_2d
+    from weakcube_tpu.utils.util import imwrite
+    img = np.asarray(batch["image"][0])
+    img = img * np.asarray(cfg.MODEL.PIXEL_STD) + np.asarray(cfg.MODEL.PIXEL_MEAN)
+    if cfg.INPUT.FORMAT == "BGR":
+        img = img[..., ::-1]
+    gt = batch["gt"]
+    valid = np.asarray(gt.valid[0])
+    boxes = np.asarray(gt.boxes[0])[valid]
+    out = draw_boxes_2d(np.clip(img, 0, 255), boxes)
+    vis_dir = os.path.join(cfg.OUTPUT_DIR, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    imwrite(os.path.join(vis_dir, f"iter_{it:06d}_gt.jpg"), out)
 
 
 def main(argv=None):

@@ -11,8 +11,9 @@ Methods here:
     up-facing plane in the depth-map point cloud (ops.plane RANSAC, batched
     over the mesh) and mark its inliers as ground. Requires depth maps
     (run generate_depth_maps first). Produces the same artefact format.
-  * --method foundation: GroundingDINO + SAM-HQ JAX graphs (landing in a
-    later round — raises until then).
+  * --method foundation: GroundingDINO + SAM JAX graphs (architectures in
+    pseudo_gt/, pipeline in foundation_ground_mask()); needs converted
+    checkpoints, which this sealed environment cannot fetch.
 """
 from __future__ import annotations
 
@@ -78,8 +79,9 @@ def generate(records: Sequence[Dict], out_dir: str, depth_dir: str,
                 depth, np.asarray(r["K"], np.float32), jax.random.fold_in(key, i))
         else:
             raise NotImplementedError(
-                "foundation-model ground segmentation (GroundingDINO + SAM-HQ "
-                "JAX graphs) lands in a later round; use --method depth-ransac")
+                "foundation method requires converted GroundingDINO/SAM "
+                "checkpoints; see foundation_ground_mask() and use "
+                "--method depth-ransac meanwhile")
         if mask.sum() < MIN_MASK_PX:
             no_ground.append(r["image_id"])
             continue
@@ -125,3 +127,58 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# foundation-model path (GroundingDINO "ground" boxes -> SAM mask)
+# ---------------------------------------------------------------------------
+
+# bert-base-uncased wordpiece ids for the fixed prompt "ground." used by the
+# reference (TEXT_PROMPT="ground", generate_ground_segmentations.py:137)
+GROUND_PROMPT_TOKENS = [101, 2598, 1012, 102]  # [CLS] ground . [SEP]
+BOX_THRESHOLD = 0.35   # reference thresholds (:157-164)
+TEXT_THRESHOLD = 0.25
+
+
+def foundation_ground_mask(gdino, gdino_params, sam, sam_params,
+                           image: np.ndarray) -> np.ndarray:
+    """One image through GroundingDINO("ground") -> max-logit box -> SAM.
+
+    Mirrors the reference pipeline (:137-191): take the highest-scoring
+    grounded box above BOX_THRESHOLD, prompt SAM with it, return the mask
+    at the original resolution (empty mask when no box clears threshold).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .pseudo_gt.grounding_dino import predict_ground_boxes
+    from .pseudo_gt.sam import IMG_SIZE, preprocess_sam
+
+    H, W = image.shape[:2]
+    # GroundingDINO input: 800-ish normalised; we use a fixed square
+    from PIL import Image
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    side = 768
+    g_in = np.asarray(Image.fromarray(image.astype(np.uint8))
+                      .resize((side, side), Image.BILINEAR), np.float32) / 255.0
+    g_in = ((g_in - mean) / std)[None]
+    tokens = jnp.asarray([GROUND_PROMPT_TOKENS + [0] * 12])
+    tmask = tokens > 0
+    boxes, scores = predict_ground_boxes(gdino, gdino_params,
+                                         jnp.asarray(g_in), tokens, tmask)
+    best = int(jnp.argmax(scores[0]))
+    if float(scores[0, best]) < BOX_THRESHOLD:
+        return np.zeros((H, W), bool)
+    cx, cy, bw, bh = np.asarray(boxes[0, best])
+    # cxcywh normalised -> XYXY in SAM 1024-space (scaled by longest side)
+    s = IMG_SIZE / max(H, W)
+    box_xyxy = np.array([(cx - bw / 2) * W * s, (cy - bh / 2) * H * s,
+                         (cx + bw / 2) * W * s, (cy + bh / 2) * H * s],
+                        np.float32)
+    sam_in = preprocess_sam([image])
+    masks = sam.apply({"params": sam_params}, jnp.asarray(sam_in),
+                      jnp.asarray(box_xyxy)[None, None])
+    m = np.asarray(masks[0, 0]) > 0  # (256, 256) logits
+    big = np.asarray(Image.fromarray(m.astype(np.uint8) * 255).resize(
+        (W, H), Image.NEAREST)) > 127
+    return big

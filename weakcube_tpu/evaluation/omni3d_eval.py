@@ -65,9 +65,18 @@ def _match_image(dt_scores, iou_mat, gt_ignore, iou_thrs, dt_ignore=None):
     """Greedy COCO matching for one (image, category).
 
     Returns (dt_matched[T, D] gt index or -1, dt_ig[T, D]).
+    Dispatches to the native C++ matcher (csrc/eval_match.cpp) when
+    available; this numpy body is the reference implementation/fallback.
     """
     D, G = iou_mat.shape
     T = len(iou_thrs)
+    if D and G:
+        from ._native import native_match
+        got = native_match(dt_scores, iou_mat, gt_ignore, iou_thrs,
+                           dt_ignore if dt_ignore is not None
+                           else np.zeros(D, bool))
+        if got is not None:
+            return got
     order = np.argsort(-dt_scores, kind="stable")
     dtm = -np.ones((T, D), np.int64)
     dt_ig = np.zeros((T, D), bool)
@@ -266,3 +275,76 @@ class Omni3DEvaluator:
                         or k.startswith("AP5") else k] = res3d[k]
             out["per_class_3D"] = res3d["per_class"]
         return out
+
+
+class Omni3DEvaluationHelper:
+    """Multi-dataset evaluation orchestration (reference
+    omni3d_evaluation.py:168-520): one evaluator per dataset, prediction
+    caching, and `summarize_all` re-accumulation of the concatenated
+    per-category/area evals across datasets."""
+
+    def __init__(self, dataset_names: Sequence[str], num_classes: int,
+                 output_folder: Optional[str] = None,
+                 proximity_datasets: Sequence[str] = ("SUNRGBD",),
+                 class_names: Optional[List[str]] = None):
+        self.dataset_names = list(dataset_names)
+        self.num_classes = num_classes
+        self.output_folder = output_folder
+        self.class_names = class_names
+        self.evaluators: Dict[str, Omni3DEvaluator] = {}
+        self.results: Dict[str, Dict] = {}
+        for name in self.dataset_names:
+            prox = any(p.lower() in name.lower() for p in proximity_datasets)
+            self.evaluators[name] = Omni3DEvaluator(
+                num_classes, proximity=prox, class_names=class_names)
+
+    def add_predictions(self, dataset: str, dt_record: Dict, gt_record: Dict):
+        self.evaluators[dataset].add(dt_record, gt_record)
+
+    def save_predictions(self, dataset: str):
+        if not self.output_folder:
+            return
+        import json
+        import os
+        os.makedirs(self.output_folder, exist_ok=True)
+        ev = self.evaluators[dataset]
+        path = os.path.join(self.output_folder, f"instances_predictions_{dataset}.json")
+        with open(path, "w") as f:
+            json.dump([
+                {"image_id": int(r["image_id"]),
+                 "boxes": np.asarray(r["boxes"]).tolist(),
+                 "scores": np.asarray(r["scores"]).tolist(),
+                 "classes": np.asarray(r["classes"]).tolist()}
+                for r in ev.dt], f)
+
+    def evaluate(self, dataset: str) -> Dict:
+        self.results[dataset] = self.evaluators[dataset].summarize()
+        return self.results[dataset]
+
+    def summarize_all(self) -> Dict:
+        """Aggregate across datasets: evaluate any pending, then also compute
+        the overall AP over the union of images (the reference re-accumulates
+        cached per-cat/area evals; with our streaming records we can simply
+        pool them)."""
+        for name in self.dataset_names:
+            if name not in self.results:
+                self.evaluate(name)
+        pooled_dt, pooled_gt = [], []
+        offset = 0
+        for name in self.dataset_names:
+            ev = self.evaluators[name]
+            for d, g in zip(ev.dt, ev.gt):
+                d = dict(d, image_id=d["image_id"] + offset)
+                g = dict(g, image_id=g["image_id"] + offset)
+                pooled_dt.append(d)
+                pooled_gt.append(g)
+            offset += 10 ** 9
+        overall: Dict = {}
+        if pooled_dt:
+            res2d = evaluate_detections(pooled_dt, pooled_gt, self.num_classes, "2D")
+            overall["AP2D"] = res2d["AP"]
+            if pooled_gt and "corners3D" in pooled_gt[0]:
+                res3d = evaluate_detections(pooled_dt, pooled_gt,
+                                            self.num_classes, "3D")
+                overall["AP3D"] = res3d["AP"]
+        return {"per_dataset": self.results, "overall": overall}

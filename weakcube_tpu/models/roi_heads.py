@@ -622,6 +622,11 @@ class ROIHeads3DScore(ROIHeadsCommon):
         losses, pred_boxes, _, _ = self.forward_box_train(features, rois, gt)
 
         fg = rois.fg & rois.valid
+        if rc.LOSS_W_3D == 0:
+            # 2D-only pretraining (Base_Omni3D_2D_only.yaml): the cube
+            # branch contributes nothing — skip its compute entirely
+            metrics = {"roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0]}
+            return losses, metrics
         dec = self.run_cube_head(features, rois.boxes, rois.classes, K)
 
         gt_boxes_m = gather_gt(gt.boxes, rois.gt_idx)
@@ -731,6 +736,9 @@ class ROIHeads3D(ROIHeadsCommon):
 
         losses, pred_boxes, _, _ = self.forward_box_train(features, rois, gt)
         fg = rois.fg & rois.valid
+        if rc.LOSS_W_3D == 0:
+            metrics = {"roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0]}
+            return losses, metrics
         dec = self.run_cube_head(features, rois.boxes, rois.classes, K)
 
         # GT quantities (gt_boxes3D layout: proj_cx, proj_cy, z, w, h, l, 3d ctr)

@@ -156,3 +156,13 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 0.0) -> jnp.
     if beta <= 0:
         return diff
     return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def mask_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU between boolean masks over the last two axes
+    (ProposalNetwork/utils/utils.py:225)."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    inter = jnp.sum(af * bf, axis=(-2, -1))
+    union = jnp.sum(jnp.maximum(af, bf), axis=(-2, -1))
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)

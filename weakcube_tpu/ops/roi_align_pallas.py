@@ -3,25 +3,25 @@
 The XLA-gather formulation (ops/roi_align.py) moves 4 HBM reads per bilinear
 sample through a giant gather. This kernel restructures the op TPU-natively:
 
-  * grid = one program per RoI;
-  * the RoI's (window x window x C) feature tile is DMA'd HBM -> VMEM once
-    from its assigned pyramid level (5 predicated copies, one active);
+  * the pyramid levels are stacked into ONE HBM buffer along rows (each
+    level's width padded to the finest level's), so a RoI's window is a
+    single unconditional 2D DMA at (row_offset[level] + y0, x0*C) — no
+    per-level branching inside the kernel;
+  * grid = one program per RoI; the (WINDOW x WINDOW x C) tile lands in
+    VMEM once;
   * bilinear interpolation becomes TWO SMALL MATMULS on the MXU:
         out[i, j, c] = sum_{y,x} Wy[i, y] * Wx[j, x] * tile[y, x, c]
-    where Wy/Wx are (7, W) interpolation-weight matrices with the 2x2
-    sample averaging folded in (each row: two bilinear rows averaged);
-  * RoI scalars (window origin, level geometry, sub-pixel offsets) arrive
-    via PrefetchScalarGridSpec so the DMA address is known before the body.
+    with the 2x2 sample averaging folded into the (7, WINDOW) weight rows;
+  * RoI scalars (window origin row/col, sub-pixel offsets) arrive via
+    PrefetchScalarGridSpec so the DMA address is known up front.
 
 Fixed window: the FPN level heuristic bounds an RoI's extent at its level
-to < 28 feature units for images <= ~720 px (scale in [224*2^(l-4),
-224*2^(l-3)) per level), so a 32-unit window covers every sample with edge
-clamping — identical semantics to ROIAlign's border clamp. Callers with
-larger inputs use the XLA path.
+to < 28 feature units for images <= ~720 px, so a 32-unit window covers
+every sample with edge clamping — the same border clamp ROIAlign performs.
+Callers with larger inputs use the XLA path.
 
-Forward-only: training keeps the differentiable gather formulation
-(scatter-add of overlapping RoI gradients across HBM is not worth a kernel
-at these sizes); inference — the bench-critical path — uses this.
+Forward-only: training keeps the differentiable gather formulation;
+inference — the bench-critical path — uses this.
 """
 from __future__ import annotations
 
@@ -37,65 +37,57 @@ from jax.experimental.pallas import tpu as pltpu
 from .roi_align import assign_fpn_levels
 
 WINDOW = 32
+# DMA row starts must sit on the fp32 sublane tile (8 rows): the window row
+# origin is snapped down to a multiple of 8 and the residual folded into the
+# sub-pixel sample offset, so the row window carries 8 rows of slack.
+WINDOW_Y = WINDOW + 8
 
 
-def _roi_align_kernel(meta_ref,      # scalar prefetch: (R, 4) int32
-                      frac_ref,      # scalar prefetch: (R, 4) float32
-                      *refs):
-    """One program per RoI. refs = level_refs (L, HBM) + out_ref + scratch."""
-    n_levels = len(refs) - 3
-    out_ref = refs[n_levels]
-    tile = refs[n_levels + 1]        # VMEM (WINDOW, WINDOW*C)
-    sem = refs[n_levels + 2]
+def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
+    """One program per RoI. stacked_ref: (sumH_padded, maxW*C) in HBM."""
     r = pl.program_id(0)
-
-    lvl = meta_ref[r, 0]
-    y0 = meta_ref[r, 1]
-    x0 = meta_ref[r, 2]
-
-    # DMA the window from the RoI's level (predicated; exactly one fires)
-    for li in range(n_levels):
-        @pl.when(lvl == li)
-        def _():
-            src = refs[li]           # (H_l, W_l*C) in HBM
-            C = out_ref.shape[-1]
-            cp = pltpu.make_async_copy(
-                src.at[pl.ds(y0, WINDOW), pl.ds(x0 * C, WINDOW * C)],
-                tile, sem)
-            cp.start()
-            cp.wait()
-
     C = out_ref.shape[-1]
-    P = out_ref.shape[0]             # 7
+    P = out_ref.shape[0]
+    row0 = pl.multiple_of(meta_ref[r, 0], 8)   # snapped window row
+    col0 = meta_ref[r, 1]                       # x0 * C
+    if C % 128 == 0:
+        col0 = pl.multiple_of(col0, 128)
 
-    # interpolation weights: sample grid start/step in window units
+    cp = pltpu.make_async_copy(
+        stacked_ref.at[pl.ds(row0, WINDOW_Y), pl.ds(col0, WINDOW * C)],
+        tile, sem)
+    cp.start()
+    cp.wait()
+
     sy0 = frac_ref[r, 0]
     sx0 = frac_ref[r, 1]
     sdy = frac_ref[r, 2]
     sdx = frac_ref[r, 3]
 
-    def weights(start, step):
-        # 2*P sample coords -> (P, WINDOW) averaged bilinear weight rows
-        s = jax.lax.broadcasted_iota(jnp.float32, (2 * P, 1), 0)
-        coord = start + s * step                       # (2P, 1)
-        coord = jnp.clip(coord, 0.0, WINDOW - 1.0)
-        grid = jax.lax.broadcasted_iota(jnp.float32, (2 * P, WINDOW), 1)
-        d = 1.0 - jnp.abs(grid - coord)                # hat function
-        w = jnp.maximum(d, 0.0)                        # (2P, WINDOW)
-        return 0.5 * (w[0::2] + w[1::2])               # fold 2-sample average
+    def weights(start, step, win):
+        # (P, win) averaged bilinear weight rows (Mosaic-friendly: int
+        # iota + hat function, no strided slicing)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
+        grid = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
+        c0 = jnp.clip(start + (2 * bins) * step, 0.0, win - 1.0)
+        c1 = jnp.clip(start + (2 * bins + 1) * step, 0.0, win - 1.0)
+        w0 = jnp.maximum(1.0 - jnp.abs(grid - c0), 0.0)
+        w1 = jnp.maximum(1.0 - jnp.abs(grid - c1), 0.0)
+        return 0.5 * (w0 + w1)
 
-    Wy = weights(sy0, sdy)                             # (P, WINDOW)
-    Wx = weights(sx0, sdx)                             # (P, WINDOW)
+    Wy = weights(sy0, sdy, WINDOW_Y)                   # (P, WINDOW_Y)
+    Wx = weights(sx0, sdx, WINDOW)                     # (P, WINDOW)
 
-    t = tile[...].reshape(WINDOW, WINDOW, C)
-    a = jax.lax.dot_general(Wy, t.reshape(WINDOW, WINDOW * C),
+    # contract y: (P, WINDOW_Y) @ (WINDOW_Y, WINDOW*C) -> (P, WINDOW, C)
+    a = jax.lax.dot_general(Wy, tile[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     a = a.reshape(P, WINDOW, C)
-    out = jax.lax.dot_general(Wx, a, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    # dot_general output: (P_x, P_y, C) -> transpose to (P_y, P_x, C)
-    out_ref[...] = jnp.swapaxes(out, 0, 1)
+    # contract x: (Pj, W) x (Pi, W, C) -> (Pj, Pi, C), then one full-block
+    # write (sliced sub-7 writes trip Mosaic's sublane tiling)
+    b = jax.lax.dot_general(Wx, a, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.swapaxes(b, 0, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "strides", "min_level"))
@@ -108,11 +100,30 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     C = features[0].shape[-1]
     L = len(features)
     max_level = min_level + L - 1
+    maxW = max(max(f.shape[1] for f in features), WINDOW)
+
+    # stack levels along rows; pad width to maxW and height to >= WINDOW_Y,
+    # keeping every level height a multiple of 8 so the snapped row starts
+    # stay tile-aligned in the stacked buffer
+    rows = []
+    row_offsets = []
+    heights_padded = []
+    off = 0
+    for f in features:
+        H, W = f.shape[:2]
+        Hp = max(WINDOW_Y, -(-H // 8) * 8)
+        f = jnp.pad(f, ((0, Hp - H), (0, maxW - W), (0, 0)))
+        rows.append(f.reshape(Hp, maxW * C))
+        row_offsets.append(off)
+        heights_padded.append(Hp)
+        off += Hp
+    stacked = jnp.concatenate(rows, axis=0)            # (sumH, maxW*C)
+    row_offsets = jnp.asarray(row_offsets, jnp.int32)
 
     levels = assign_fpn_levels(boxes, min_level, max_level) - min_level
     inv_strides = jnp.asarray([1.0 / s for s in strides], jnp.float32)
     scale = inv_strides[levels]
-    hs = jnp.asarray([f.shape[0] for f in features], jnp.int32)[levels]
+    hs = jnp.asarray(heights_padded, jnp.int32)[levels]
     ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)[levels]
 
     x1 = boxes[:, 0] * scale - 0.5
@@ -123,58 +134,46 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     roi_h = jnp.maximum(y2 - y1, 1e-6)
 
     P2 = output_size * 2
-    # first sample centre and step along each axis (level units)
     sy_start = y1 + roi_h / P2 * 0.5
     sx_start = x1 + roi_w / P2 * 0.5
     sdy = roi_h / P2
     sdx = roi_w / P2
 
-    # window origin: clamp so the window stays in bounds
+    # snap the row origin to the 8-row sublane tile (Mosaic DMA alignment);
+    # the residual rides in the sub-pixel offset and the window has 8 rows
+    # of slack (WINDOW_Y = WINDOW + 8)
     y0 = jnp.clip(jnp.floor(sy_start).astype(jnp.int32),
-                  0, jnp.maximum(hs - WINDOW, 0))
+                  0, jnp.maximum(hs - WINDOW_Y, 0))
+    y0 = (y0 // 8) * 8
     x0 = jnp.clip(jnp.floor(sx_start).astype(jnp.int32),
-                  0, jnp.maximum(ws - WINDOW, 0))
+                  0, jnp.maximum(jnp.minimum(ws, maxW) - WINDOW, 0))
 
-    meta = jnp.stack([levels, y0, x0, jnp.zeros_like(y0)], -1).astype(jnp.int32)
+    meta = jnp.stack([row_offsets[levels] + y0, x0 * C,
+                      jnp.zeros_like(y0), jnp.zeros_like(y0)], -1).astype(jnp.int32)
     frac = jnp.stack([sy_start - y0.astype(jnp.float32),
                       sx_start - x0.astype(jnp.float32), sdy, sdx], -1)
-
-    # pad levels to >= WINDOW and flatten the channel into the row so the
-    # window DMA is a contiguous 2D slice
-    lv_inputs = []
-    for f in features:
-        H, W = f.shape[:2]
-        ph = max(WINDOW - H, 0)
-        pw = max(WINDOW - W, 0)
-        if ph or pw:
-            f = jnp.pad(f, ((0, ph), (0, pw), (0, 0)))
-        lv_inputs.append(f.reshape(f.shape[0], f.shape[1] * C))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in lv_inputs],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, output_size, output_size, C),
                                lambda r, *_: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((WINDOW, WINDOW * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
 
-    def kernel(meta_ref, frac_ref, *refs):
-        # out block is (1, P, P, C); unwrap the leading dim
-        n_levels = L
-        out_ref = refs[n_levels]
-        _roi_align_kernel(meta_ref, frac_ref,
-                          *refs[:n_levels], out_ref.at[0],
-                          *refs[n_levels + 1:])
+    def kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
+        _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref.at[0],
+                          tile, sem)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, output_size, output_size, C),
                                        jnp.float32),
-    )(meta, frac, *lv_inputs)
+    )(meta, frac, stacked)
 
 
 def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
