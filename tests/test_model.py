@@ -144,3 +144,20 @@ class TestWeakModel:
         cube_grads = [np.abs(np.asarray(v)).sum() for p, v in flat
                       if any("cube_head" in str(k) for k in p)]
         assert sum(cube_grads) > 0
+
+
+class Test2DOnlyMode:
+    def test_loss_w_3d_zero_skips_cube_losses(self):
+        cfg = tiny_cfg()
+        cfg.MODEL.ROI_CUBE_HEAD.LOSS_W_3D = 0.0
+        cfg.freeze()
+        model = build_model(cfg)
+        batch = tiny_batch()
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch, train=True,
+                            rng=jax.random.PRNGKey(1))
+        (losses, metrics), _ = model.apply(
+            params, batch, train=True, rng=jax.random.PRNGKey(2),
+            mutable=["batch_stats"])
+        assert not any(k.startswith("Cube/") for k in losses), sorted(losses)
+        for k in ["rpn/cls", "BoxHead/loss_cls"]:
+            assert k in losses and np.isfinite(float(losses[k]))
