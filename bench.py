@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 12.0
-BATCH = 8
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 32))
 IMAGE_SIZE = 512
 
 

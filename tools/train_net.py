@@ -100,8 +100,7 @@ def do_train(cfg, args, records, loaders, num_classes):
     from weakcube_tpu.data.build import build_train_batches
     from weakcube_tpu.models.priors import compute_priors
     from weakcube_tpu.models.rcnn3d import build_model
-    from weakcube_tpu.parallel import (create_train_state, make_mesh,
-                                       make_train_step, shard_batch)
+    from weakcube_tpu.parallel import make_mesh, make_train_step, shard_batch
     from weakcube_tpu.solver import build_optimizer
     from weakcube_tpu.solver.checkpoint import (PeriodicCheckpointerOnlyOne,
                                                 load_weights_pretrain)
