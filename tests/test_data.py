@@ -201,3 +201,20 @@ class TestKittiExport:
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         assert abs(rotation_y_from_pose(R) - yaw) < 1e-6
+
+
+class TestMultiScale:
+    def test_scale_jitter_within_canvas(self):
+        cfg = smoke_cfg()
+        cfg.INPUT.MIN_SIZE_TRAIN = (64, 96, 128)
+        cfg.freeze()
+        m = DatasetMapper3D(cfg, is_train=True)
+        rec = synthetic.make_dataset(1, seed=9)[0]
+        sizes = set()
+        for seed in range(12):
+            out = m(rec, rng=np.random.default_rng(seed))
+            w, h = out["image_wh"]
+            assert w <= 128 and h <= 128
+            assert out["image"].shape == (128, 128, 3)  # static canvas
+            sizes.add(int(h))
+        assert len(sizes) > 1  # jitter actually varies the content scale

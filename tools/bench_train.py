@@ -49,8 +49,10 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    variables = model.init({"params": rng}, batch, train=True,
-                           rng=jax.random.fold_in(rng, 1))
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, batch, train=True,
+                             rng=jax.random.fold_in(r, 1))
+    )(rng)
     params = variables["params"]
     tx = build_optimizer(cfg, params)
     state = TrainState(

@@ -109,8 +109,9 @@ def do_train(cfg, args, records, loaders, num_classes):
     mesh = make_mesh(list(cfg.TPU.MESH_SHAPE), list(cfg.TPU.MESH_AXES))
     logger.info("mesh: %s over %d devices", mesh, mesh.size)
 
+    from weakcube_tpu.data.build import prefetch
     model = build_model(cfg, priors)
-    batches = build_train_batches(cfg, records, loaders=loaders)
+    batches = prefetch(build_train_batches(cfg, records, loaders=loaders))
     first = shard_batch(next(batches), mesh)
 
     rng = jax.random.PRNGKey(12 if cfg.SEED < 0 else cfg.SEED)

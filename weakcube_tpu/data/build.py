@@ -119,3 +119,30 @@ def build_test_batches(cfg, records: Sequence[Dict],
 def _default_image(record: Dict) -> np.ndarray:
     from .datasets import read_image
     return read_image(record["file_name"], record=record)
+
+
+def prefetch(iterator: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
+    """Background-thread prefetch: overlap host-side decode/augment/stack
+    with device compute (the reference gets this from detectron2's worker
+    processes; one thread suffices here since the mapper is numpy/PIL-bound
+    and the train step runs on device)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

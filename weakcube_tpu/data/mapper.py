@@ -51,6 +51,13 @@ class DatasetMapper3D:
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
         self.random_flip = cfg.INPUT.RANDOM_FLIP == "horizontal" and is_train
         self.fmt = cfg.INPUT.FORMAT
+        # multi-scale training (reference INPUT.MIN_SIZE_TRAIN sweep): the
+        # canvas stays static (one compiled graph); the CONTENT scale is
+        # jittered inside it, clamped so content always fits
+        sizes = cfg.INPUT.MIN_SIZE_TRAIN if is_train else (cfg.INPUT.MIN_SIZE_TEST,)
+        if isinstance(sizes, (int, float)):
+            sizes = (sizes,)
+        self.min_sizes = tuple(sizes)
 
     def __call__(self, record: Dict, rng: Optional[np.random.Generator] = None,
                  image: Optional[np.ndarray] = None,
@@ -60,6 +67,11 @@ class DatasetMapper3D:
         S = self.image_size
         W0, H0 = record["width"], record["height"]
         scale = S / max(W0, H0)
+        if self.is_train and len(self.min_sizes) > 1:
+            # scale jitter: target a random min-side, clamped into the canvas
+            target_min = float(self.min_sizes[rng.integers(len(self.min_sizes))])
+            jitter = (target_min / min(W0, H0))
+            scale = min(jitter, scale)
         net_w, net_h = int(round(W0 * scale)), int(round(H0 * scale))
 
         if image is None:
