@@ -236,17 +236,25 @@ class TwoWayBlock(nn.Module):
 
 
 class MaskDecoder(nn.Module):
-    """Two-way transformer + hypernetwork upscaling (box -> 1 mask)."""
+    """Two-way transformer + hypernetwork upscaling (box -> 1 mask).
+
+    With hq=True this is the SAM-HQ decoder: an extra learnable HQ output
+    token and a global/local feature-fusion branch (early + final ViT
+    features compressed to the upscaled embedding space); the returned mask
+    is the HQ one, as the reference's sam_hq checkpoints produce.
+    """
 
     num_multimask: int = 3
+    hq: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, image_embed, image_pe, prompt_tokens):
+    def __call__(self, image_embed, image_pe, prompt_tokens,
+                 early_feat=None, final_feat=None):
         # image_embed: (B, 64, 64, 256); prompt_tokens: (B, N, 2, 256)
         B, H, W, D = image_embed.shape
         N = prompt_tokens.shape[1]
-        n_mask_tokens = self.num_multimask + 1
+        n_mask_tokens = self.num_multimask + 1 + (1 if self.hq else 0)
         iou_token = self.param("iou_token", nn.initializers.normal(0.02), (1, D))
         mask_tokens = self.param("mask_tokens", nn.initializers.normal(0.02),
                                  (n_mask_tokens, D))
@@ -280,13 +288,28 @@ class MaskDecoder(nn.Module):
                               name="upscale2")(up)
         up = nn.gelu(up)                               # (B*N, 4H, 4W, D/8)
 
-        # hypernetwork MLP per mask token -> mask logits
-        hyper = mask_out[:, :, 0]                      # single-mask output
-        for i in range(2):
-            hyper = nn.relu(nn.Dense(D, dtype=self.dtype,
-                                     name=f"hyper_fc{i + 1}")(hyper))
-        hyper = nn.Dense(D // 8, dtype=self.dtype, name="hyper_fc3")(hyper)
-        up = up.reshape(B, N, 4 * H, 4 * W, D // 8)
+        def hyper_mlp(tok, name):
+            h = tok
+            for i in range(2):
+                h = nn.relu(nn.Dense(D, dtype=self.dtype,
+                                     name=f"{name}_fc{i + 1}")(h))
+            return nn.Dense(D // 8, dtype=self.dtype, name=f"{name}_fc3")(h)
+
+        if self.hq and early_feat is not None and final_feat is not None:
+            # HQ branch: compress early + final ViT features into the
+            # upscaled embedding space and add them (SAM-HQ fusion)
+            hq_feat = nn.ConvTranspose(D // 8, (4, 4), (4, 4),
+                                       dtype=self.dtype,
+                                       name="hq_compress_early")(early_feat)
+            hq_feat = hq_feat + nn.ConvTranspose(
+                D // 8, (4, 4), (4, 4), dtype=self.dtype,
+                name="hq_compress_final")(final_feat)   # (B, 4H, 4W, D/8)
+            up = up.reshape(B, N, 4 * H, 4 * W, D // 8) + hq_feat[:, None]
+            hyper = hyper_mlp(mask_out[:, :, -1], "hyper_hq")  # HQ token
+        else:
+            up = up.reshape(B, N, 4 * H, 4 * W, D // 8)
+            hyper = hyper_mlp(mask_out[:, :, 0], "hyper")
+
         masks = jnp.einsum("bnhwc,bnc->bnhw", up, hyper)
         return masks.astype(jnp.float32)               # (B, N, 256, 256) logits
 
@@ -296,11 +319,13 @@ class Sam(nn.Module):
     (upsample/crop to the original frame on host)."""
 
     variant: str = "vit_b"
+    hq: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, images, boxes):
-        enc, _ = SamImageEncoder(self.variant, self.dtype, name="image_encoder")(images)
+        enc, interm = SamImageEncoder(self.variant, self.dtype,
+                                      name="image_encoder")(images)
         grid = enc.shape[1]
         # dense positional encoding over the embedding grid
         pe_scale = self.param("dense_pe", nn.initializers.normal(1.0),
@@ -313,8 +338,9 @@ class Sam(nn.Module):
         image_pe = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1)
 
         prompts = PromptEncoder(self.dtype, name="prompt_encoder")(boxes)
-        return MaskDecoder(dtype=self.dtype, name="mask_decoder")(
-            enc, image_pe, prompts)
+        early = interm[0] if (self.hq and interm) else None
+        return MaskDecoder(hq=self.hq, dtype=self.dtype, name="mask_decoder")(
+            enc, image_pe, prompts, early_feat=early, final_feat=enc)
 
 
 def preprocess_sam(images: Sequence[np.ndarray]) -> np.ndarray:

@@ -797,7 +797,16 @@ class ROIHeads3D(ROIHeadsCommon):
             per_box["Cube/loss_dims"] = jnp.abs(dec.dims_norm - tgt).mean(-1)
             per_box["Cube/loss_pose"] = 1.0 - rotations.so3_relative_angle(
                 dec.pose, gposes, cos_angle=True)
-            per_box["Cube/loss_z"] = jnp.abs(dec.z - gt_z)
+            # z loss per Z_TYPE (roi_heads.py:1941-1953)
+            r2v = 1.0 / jnp.maximum(dec.virtual_to_real, 1e-6)
+            if rc.Z_TYPE == "sigmoid":
+                per_box["Cube/loss_z"] = jnp.abs(
+                    dec.z_norm - jnp.clip(gt_z * r2v / 100.0, 0.0, 1.0))
+            elif rc.Z_TYPE == "log":
+                per_box["Cube/loss_z"] = jnp.abs(
+                    dec.z_norm - jnp.log(jnp.maximum(gt_z * r2v, 0.01)))
+            else:  # 'direct' and 'clusters' fall back to metric L1
+                per_box["Cube/loss_z"] = jnp.abs(dec.z - gt_z)
 
         weights.update({"Cube/loss_z": rc.LOSS_W_Z, "Cube/loss_xy": rc.LOSS_W_XY,
                         "Cube/loss_dims": rc.LOSS_W_DIMS,
