@@ -502,7 +502,12 @@ class ROIHeadsCommon(nn.Module):
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
             f32 = [f.astype(jnp.float32) for f in feats]
             return multilevel_roi_align_pallas(f32, boxes, strides, resolution)
-        return multilevel_roi_align(feats, boxes, strides, resolution)
+        # reference POOLER_SAMPLING_RATIO=0 means adaptive; the static
+        # equivalent is 2 samples/bin (d2's effective value at RoI ~ 14
+        # units); values > 0 are honoured verbatim
+        sr = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2
+        return multilevel_roi_align(feats, boxes, strides, resolution,
+                                    sampling_ratio=sr)
 
     def _scale_boxes(self, boxes):
         s = self.cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES
