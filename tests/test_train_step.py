@@ -1,0 +1,79 @@
+"""Divergence-stabilisation semantics of the jitted train step."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from weakcube_tpu.parallel.train_step import TrainState, make_train_step
+
+
+class ToyModel(nn.Module):
+    """Minimal model with the RCNN3D train interface."""
+
+    @nn.compact
+    def __call__(self, batch, train=False, rng=None):
+        w = self.param("w", nn.initializers.ones, (4,))
+        pred = jnp.sum(batch["x"] * w)
+        loss = (pred - batch["y"]) ** 2
+        return {"loss": loss}, {"metric": loss}
+
+
+def make_state(model, tx, batch):
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=True,
+                           rng=jax.random.PRNGKey(1))
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats={}, opt_state=tx.init(params),
+                      loss_ema=jnp.zeros(()), ema_init=jnp.zeros((), bool),
+                      skipped=jnp.zeros((), jnp.int32),
+                      applied=jnp.zeros((), jnp.int32))
+
+
+class TestStabilisation:
+    def setup_method(self):
+        self.model = ToyModel()
+        self.tx = optax.sgd(0.01)
+        self.batch = {"x": jnp.ones((4,)), "y": jnp.asarray(2.0)}
+        self.state = make_state(self.model, self.tx, self.batch)
+        self.step = make_train_step(self.model, self.tx)
+
+    def test_normal_update_applies(self):
+        s1, logs = self.step(self.state, self.batch, jax.random.PRNGKey(0))
+        assert int(s1.applied) == 1 and int(s1.skipped) == 0
+        # params move off the ones-init (input state was donated)
+        assert not np.allclose(np.asarray(s1.params["w"]), np.ones(4))
+        assert float(s1.loss_ema) == float(logs["total_loss"])
+
+    def test_nan_batch_skips_and_preserves_params(self):
+        s1, _ = self.step(self.state, self.batch, jax.random.PRNGKey(0))
+        # the step donates its input state — snapshot params to host first
+        w_before = np.asarray(s1.params["w"]).copy()
+        bad = {"x": jnp.full((4,), jnp.nan), "y": jnp.asarray(2.0)}
+        s2, logs = self.step(s1, bad, jax.random.PRNGKey(1))
+        assert int(s2.skipped) == 1
+        np.testing.assert_allclose(np.asarray(s2.params["w"]), w_before)
+        assert float(logs["diverging"]) == 1.0
+        # EMA absorbed the clipped loss, not the NaN
+        assert np.isfinite(float(s2.loss_ema))
+
+    def test_explosion_skips(self):
+        s = self.state
+        for i in range(3):  # warm the EMA near the normal loss
+            s, _ = self.step(s, self.batch, jax.random.fold_in(jax.random.PRNGKey(0), i))
+        huge = {"x": jnp.ones((4,)), "y": jnp.asarray(1e6)}  # loss ~1e12 >> 4x ema
+        before = np.asarray(s.params["w"]).copy()
+        skipped_before = int(s.skipped)
+        s2, logs = self.step(s, huge, jax.random.PRNGKey(9))
+        assert float(logs["diverging"]) == 1.0
+        assert int(s2.skipped) == skipped_before + 1
+        np.testing.assert_allclose(np.asarray(s2.params["w"]), before)
+
+    def test_recovers_after_skip(self):
+        s1, _ = self.step(self.state, self.batch, jax.random.PRNGKey(0))
+        bad = {"x": jnp.full((4,), jnp.nan), "y": jnp.asarray(2.0)}
+        s2, _ = self.step(s1, bad, jax.random.PRNGKey(1))
+        s3, logs = self.step(s2, self.batch, jax.random.PRNGKey(2))
+        assert float(logs["diverging"]) == 0.0
+        assert int(s3.applied) == 2
+        assert np.all(np.isfinite(np.asarray(s3.params["w"])))

@@ -78,8 +78,11 @@ def make_train_step(model, tx) -> Callable:
             lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True))
         skip = diverging | ~grad_finite
 
-        # clip the recorded loss into [0, 1] when diverging (train_net.py:210)
+        # clip the recorded loss into [0, 1] when diverging (train_net.py:210);
+        # a non-finite loss records as 1.0 (clip(NaN) stays NaN otherwise and
+        # would poison the EMA forever)
         recorded = jnp.where(diverging, jnp.clip(total, 0.0, 1.0), total)
+        recorded = jnp.where(jnp.isfinite(recorded), recorded, 1.0)
         new_ema = jnp.where(state.ema_init,
                             ema * (1 - GAMMA) + GAMMA * recorded, recorded)
 
