@@ -115,6 +115,7 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
     evaluator = Omni3DEvaluator(num_classes, proximity=proximity)
     gt_recs = {g["image_id"]: g for g in gt_records_from_raw(records)}
 
+    vis_budget = int(os.environ.get("WEAKCUBE_EVAL_VIS", 0))
     t0 = time.time()
     n_img = 0
     for batch in build_test_batches(cfg, records, batch_size=batch_size,
@@ -123,6 +124,20 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
                        ("image", "image_wh", "K", "gt", "depth_map",
                         "ground_mask", "ground_valid") if k in batch}
         det = eval_step(variables["params"], variables["batch_stats"], model_batch)
+        # eval-time JPEG dumps (reference vis.visualize_from_instances)
+        if vis_budget > 0:
+            from weakcube_tpu.vis.vis import visualize_from_instances
+            vdir = os.path.join(cfg.OUTPUT_DIR, "eval_vis")
+            os.makedirs(vdir, exist_ok=True)
+            for i in range(min(vis_budget, len(batch["image_id"]))):
+                img = np.asarray(batch["image"][i]) * np.asarray(cfg.MODEL.PIXEL_STD) \
+                    + np.asarray(cfg.MODEL.PIXEL_MEAN)
+                if cfg.INPUT.FORMAT == "BGR":
+                    img = img[..., ::-1]
+                visualize_from_instances(
+                    np.clip(img, 0, 255), np.asarray(batch["K"][i]), det, i,
+                    os.path.join(vdir, f"{int(batch['image_id'][i])}_pred.jpg"))
+                vis_budget -= 1
         for rec in detections_to_records(det, batch, cfg.TEST.DETECTIONS_PER_IMAGE):
             if rec["image_id"] in gt_recs:
                 evaluator.add(rec, gt_recs[rec["image_id"]])

@@ -236,9 +236,17 @@ def main(argv=None):
                         format="%(asctime)s %(name)s %(levelname)s: %(message)s")
     # this environment force-registers a remote TPU platform via
     # sitecustomize; WEAKCUBE_PLATFORM=cpu overrides it for local smoke runs
+    import jax
     if os.environ.get("WEAKCUBE_PLATFORM"):
-        import jax
         jax.config.update("jax_platforms", os.environ["WEAKCUBE_PLATFORM"])
+    # persistent compilation cache: the big train graphs take minutes to
+    # compile; cache hits make restarts/retries instant
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/weakcube_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     args = parse_args(argv)
     cfg = setup(args)
     records, loaders, num_classes = build_data(cfg, args)
