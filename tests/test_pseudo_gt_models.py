@@ -109,3 +109,48 @@ class TestGroundingDINO:
         assert logits.shape == (1, 32, 16)
         # masked tokens must be -inf-ish
         assert np.asarray(logits)[..., 5:].max() < -1e8
+
+
+class TestDeformableAttention:
+    def test_matches_numpy_bilinear(self):
+        """ms_deform_attn vs a direct numpy bilinear-sampling reference."""
+        import numpy as np
+        from weakcube_tpu.data.pseudo_gt import grounding_dino as gd
+
+        rng = np.random.default_rng(0)
+        B, H_heads, Dh, Q = 1, 2, 4, 3
+        shapes = [(4, 6), (2, 3), (2, 2), (2, 2)]  # N_LEVELS = 4
+        sumHW = sum(h * w for h, w in shapes)
+        value = rng.normal(size=(B, sumHW, H_heads, Dh)).astype(np.float32)
+        locs = rng.uniform(0.2, 0.8, (B, Q, H_heads, 4, gd.N_POINTS, 2)).astype(np.float32)
+        attn = rng.uniform(0, 1, (B, Q, H_heads, 4 * gd.N_POINTS)).astype(np.float32)
+        attn /= attn.sum(-1, keepdims=True)
+
+        got = np.asarray(gd.ms_deform_attn(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn)))
+
+        # numpy reference
+        def bilinear(img, x, y):  # img (h, w, d)
+            h, w = img.shape[:2]
+            x = np.clip(x, 0, w - 1); y = np.clip(y, 0, h - 1)
+            x0, y0 = int(np.floor(x)), int(np.floor(y))
+            x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+            fx, fy = x - x0, y - y0
+            return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+                    + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+        want = np.zeros((B, Q, H_heads, Dh), np.float32)
+        a = attn.reshape(B, Q, H_heads, 4, gd.N_POINTS)
+        off = 0
+        for li, (h, w) in enumerate(shapes):
+            img = value[0, off:off + h * w].reshape(h, w, H_heads, Dh)
+            off += h * w
+            for q in range(Q):
+                for hd in range(H_heads):
+                    for p in range(gd.N_POINTS):
+                        x = locs[0, q, hd, li, p, 0] * w - 0.5
+                        y = locs[0, q, hd, li, p, 1] * h - 0.5
+                        want[0, q, hd] += a[0, q, hd, li, p] * \
+                            bilinear(img[:, :, hd], x, y)
+        np.testing.assert_allclose(got.reshape(B, Q, H_heads, Dh), want,
+                                   atol=2e-5, rtol=1e-4)
