@@ -51,14 +51,30 @@ def _iou2d_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
 
 
 def _iou3d_matrix(dt_corners: np.ndarray, gt_corners: np.ndarray) -> np.ndarray:
-    """Exact 3D IoU via the JAX polytope-clipping op, batched on device."""
-    if len(dt_corners) == 0 or len(gt_corners) == 0:
-        return np.zeros((len(dt_corners), len(gt_corners)))
+    """Exact 3D IoU via the JAX polytope-clipping op, batched on device.
+
+    Inputs are padded up to power-of-two-ish buckets so the jitted kernel
+    compiles a handful of shapes instead of one per (num_dets, num_gts)
+    pair (padded rows are degenerate zero boxes -> IoU 0, sliced off)."""
+    D, G = len(dt_corners), len(gt_corners)
+    if D == 0 or G == 0:
+        return np.zeros((D, G))
     import jax.numpy as jnp
     from ..ops.iou3d import pairwise_iou3d
-    _, iou = pairwise_iou3d(jnp.asarray(dt_corners, jnp.float32),
-                            jnp.asarray(gt_corners, jnp.float32))
-    return np.asarray(iou)
+
+    def bucket(n):
+        b = 4
+        while b < n:
+            b *= 2
+        return b
+
+    pd, pg = bucket(D), bucket(G)
+    dt = np.zeros((pd, 8, 3), np.float32)
+    gt = np.zeros((pg, 8, 3), np.float32)
+    dt[:D] = dt_corners
+    gt[:G] = gt_corners
+    _, iou = pairwise_iou3d(jnp.asarray(dt), jnp.asarray(gt))
+    return np.asarray(iou)[:D, :G]
 
 
 def _match_image(dt_scores, iou_mat, gt_ignore, iou_thrs, dt_ignore=None):
