@@ -161,3 +161,35 @@ class Test2DOnlyMode:
         assert not any(k.startswith("Cube/") for k in losses), sorted(losses)
         for k in ["rpn/cls", "BoxHead/loss_cls"]:
             assert k in losses and np.isfinite(float(losses[k]))
+
+
+class TestAllWeakLosses:
+    def test_z_depth_segmentation_losses(self):
+        """The remaining weak losses (area-search z, depth range,
+        segmentation hull) with per-GT instance masks."""
+        cfg = tiny_cfg("RCNN3D_combined_features", "ROIHeads3DScore")
+        cfg.loss_functions = ["z", "depth", "segmentation"]
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+        cfg.freeze()
+        priors = {"priors_dims_per_cat": np.tile(
+            np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (5, 1, 1))}
+        model = build_model(cfg, priors)
+        batch = tiny_batch(with_depth=True)
+        # per-GT instance masks at quarter resolution
+        rng = np.random.default_rng(0)
+        G = batch["gt"].boxes.shape[1]
+        masks = np.zeros((2, G, 32, 32), bool)
+        boxes = np.asarray(batch["gt"].boxes)
+        for b in range(2):
+            for g in range(G):
+                x1, y1, x2, y2 = (boxes[b, g] / 128 * 32).astype(int)
+                masks[b, g, max(y1, 0):y2 + 1, max(x1, 0):x2 + 1] = True
+        batch["instance_masks"] = jnp.asarray(masks)
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch, train=True,
+                            rng=jax.random.PRNGKey(1))
+        (losses, _), _ = model.apply(params, batch, train=True,
+                                     rng=jax.random.PRNGKey(2),
+                                     mutable=["batch_stats"])
+        for k in ["Cube/loss_z", "Cube/loss_depth", "Cube/loss_seg"]:
+            assert k in losses, sorted(losses)
+            assert np.isfinite(float(losses[k])), k

@@ -45,3 +45,62 @@ class TestMultichipTrainStep:
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
         assert all(np.all(np.isfinite(np.asarray(o))) for o in out)
+
+
+class TestShardingEquivalence:
+    def test_sharded_step_matches_unsharded(self):
+        """DP over the 8-device mesh must produce the same loss and updated
+        params as the same batch on one device (SPMD is a layout, not a
+        semantics, change)."""
+        import numpy as np
+        import optax
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import __graft_entry__ as ge
+        from weakcube_tpu.models.rcnn3d import build_model
+        from weakcube_tpu.parallel import make_mesh, make_train_step, shard_batch
+        from weakcube_tpu.parallel.train_step import TrainState
+        from weakcube_tpu.solver import build_optimizer
+        import jax.numpy as jnp
+
+        cfg = ge._tiny_cfg(image_size=64, dla=False)
+        priors = {"priors_dims_per_cat": np.tile(
+            np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (5, 1, 1))}
+        model = build_model(cfg, priors)
+        batch = ge._tiny_batch(8, 64, 64)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, batch, train=True,
+                               rng=jax.random.fold_in(rng, 1))
+        tx = build_optimizer(cfg, variables["params"])
+
+        host_params = jax.device_get(variables["params"])
+        host_stats = jax.device_get(variables.get("batch_stats", {}))
+
+        def fresh_state():
+            # fresh device buffers each time: the train step donates its
+            # input state, which would delete shared arrays
+            p = jax.tree_util.tree_map(jnp.asarray, host_params)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=p,
+                batch_stats=jax.tree_util.tree_map(jnp.asarray, host_stats),
+                opt_state=tx.init(p),
+                loss_ema=jnp.zeros(()), ema_init=jnp.zeros((), bool),
+                skipped=jnp.zeros((), jnp.int32), applied=jnp.zeros((), jnp.int32))
+
+        step = make_train_step(model, tx)
+        s_single, logs_single = step(fresh_state(), batch, jax.random.PRNGKey(7))
+        w_single = jax.device_get(s_single.params)
+
+        mesh = make_mesh([-1], ["data"])
+        sharded = shard_batch(ge._tiny_batch(8, 64, 64), mesh)
+        s_mesh, logs_mesh = step(fresh_state(), sharded, jax.random.PRNGKey(7))
+        w_mesh = jax.device_get(s_mesh.params)
+
+        np.testing.assert_allclose(float(logs_single["total_loss"]),
+                                   float(logs_mesh["total_loss"]),
+                                   rtol=2e-4)
+        flat_s = jax.tree_util.tree_leaves(w_single)
+        flat_m = jax.tree_util.tree_leaves(w_mesh)
+        for a, b in zip(flat_s, flat_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-3)

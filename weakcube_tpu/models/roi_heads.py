@@ -408,61 +408,80 @@ def z_area_search_loss(gt_boxes, cubes: cuboids.Cubes, K, image_wh,
     return jnp.where(inside, loss, 0.1 * max_count) / 2.0
 
 
-def depth_range_loss(depth_maps, masks, mask_valid, gt_boxes, cubes, image_wh):
+def depth_range_loss(depth_maps, masks, gt_idx, gt_boxes, cubes, image_wh):
     """q90 - q10 of depth under the instance mask (or GT box fallback) vs
     the cube's corner-depth extent (roi_heads.py:658-684).
 
-    masks: (B, S, H, W) bool instance masks aligned to depth_maps, or None
-    -> always use the GT-box region (the reference falls back to the box
-    when the segmentation is empty)."""
+    masks: per-GT instance masks (B, G, MH, MW) bool in image-normalised
+    coordinates, or None -> always sample the GT-box region. Per-RoI masks
+    are gathered by gt_idx (the reference's first_occurrence indexing).
+    Depth values are sampled on a fixed 32x32 lattice inside the GT box;
+    mask membership is evaluated at the same lattice points.
+    """
     corner_z = cubes.corners()[..., 2]
     pred_range = jnp.max(corner_z, -1) - jnp.min(corner_z, -1)   # (B, S)
 
     B, H, W = depth_maps.shape
     gs = 32
     g = (jnp.arange(gs, dtype=jnp.float32) + 0.5) / gs
-    b = box_ops.clip_boxes(gt_boxes, jnp.broadcast_to(image_wh, (B, 2))[:, None])
-    xs = b[..., 0:1] + (b[..., 2:3] - b[..., 0:1]) * g
+    wh = jnp.broadcast_to(image_wh, (B, 2))
+    b = box_ops.clip_boxes(gt_boxes, wh[:, None])
+    xs = b[..., 0:1] + (b[..., 2:3] - b[..., 0:1]) * g           # (B, S, gs)
     ys = b[..., 1:2] + (b[..., 3:4] - b[..., 1:2]) * g
 
-    def per_image(d, xs, ys, m, mv):
+    def per_image(d, xs, ys, m, wh_i):
+        S = xs.shape[0]
         xi = jnp.clip(xs, 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(ys, 0, H - 1).astype(jnp.int32)
-        vals = d[yi[:, :, None], xi[:, None, :]].reshape(xs.shape[0], -1)
+        vals = d[yi[:, :, None], xi[:, None, :]].reshape(S, -1)   # (S, gs*gs)
         if m is not None:
-            sel = m[jnp.arange(xs.shape[0])[:, None], yi[:, :, None].repeat(gs, 2).reshape(xs.shape[0], -1),
-                    xi[:, None, :].repeat(gs, 1).reshape(xs.shape[0], -1)]
-            use_mask = mv & (jnp.sum(sel, -1) > 0)
-            big = jnp.where(sel | ~use_mask[:, None], vals, jnp.nan)
-        else:
-            big = vals
-        q90 = jnp.nanquantile(big, 0.9, axis=-1)
-        q10 = jnp.nanquantile(big, 0.1, axis=-1)
+            MH, MW = m.shape[-2:]
+            # lattice points in mask-grid coords (masks cover the image frame)
+            mx = jnp.clip(xs / jnp.maximum(wh_i[0], 1.0) * MW, 0, MW - 1).astype(jnp.int32)
+            my = jnp.clip(ys / jnp.maximum(wh_i[1], 1.0) * MH, 0, MH - 1).astype(jnp.int32)
+            sel = m[jnp.arange(S)[:, None, None], my[:, :, None], mx[:, None, :]]
+            sel = sel.reshape(S, -1)
+            use_mask = jnp.sum(sel, -1) > 0
+            vals = jnp.where(sel | ~use_mask[:, None], vals, jnp.nan)
+        q90 = jnp.nanquantile(vals, 0.9, axis=-1)
+        q10 = jnp.nanquantile(vals, 0.1, axis=-1)
         return q90 - q10
 
     if masks is None:
-        gt_range = jax.vmap(lambda d, xs, ys: per_image(d, xs, ys, None, None))(
-            depth_maps, xs, ys)
+        gt_range = jax.vmap(lambda d, xs, ys, wh_i: per_image(d, xs, ys, None, wh_i))(
+            depth_maps, xs, ys, wh)
     else:
-        gt_range = jax.vmap(per_image)(depth_maps, xs, ys, masks, mask_valid)
+        roi_masks = gather_gt(masks, gt_idx)                     # (B, S, MH, MW)
+        gt_range = jax.vmap(per_image)(depth_maps, xs, ys, roi_masks, wh)
     return jnp.abs(jax.lax.stop_gradient(gt_range) - pred_range)
 
 
-def segment_loss(masks, bube_corners, mask_hw: Tuple[int, int]):
+def segment_loss(masks, gt_idx, bube_corners, image_wh):
     """Differentiable hull of bube corners vs instance masks, focal loss
-    (roi_heads.py:420-443). masks: (B, S, H, W); bube_corners: (B, S, 8, 2)
-    in mask pixel coords."""
-    H, W = mask_hw
+    (roi_heads.py:420-443).
 
-    def per_roi(corners, m):
-        soft = hull_ops.soft_hull_mask(corners, H, W)
+    masks: per-GT (B, G, MH, MW) bool covering the image frame; the per-RoI
+    mask is gathered by gt_idx. Bube corners (image coords) are rescaled
+    into the mask grid before the soft-hull rasterisation.
+    """
+    B = bube_corners.shape[0]
+    MH, MW = masks.shape[-2:]
+    roi_masks = gather_gt(masks, gt_idx)                # (B, S, MH, MW)
+    wh = jnp.broadcast_to(image_wh, (B, 2))
+    sx = (MW / jnp.maximum(wh[:, 0], 1.0))[:, None, None]
+    sy = (MH / jnp.maximum(wh[:, 1], 1.0))[:, None, None]
+    corners = jnp.stack([bube_corners[..., 0] * sx,
+                         bube_corners[..., 1] * sy], -1)
+
+    def per_roi(c, m):
+        soft = hull_ops.soft_hull_mask(c, MH, MW)
         # reference calls sigmoid_focal_loss(y=mask, y_hat=hull) with the
         # arguments transposed (mask as "logits"); we keep the intended
         # semantics: focal of hull prediction against the mask.
         fl = loss_ops.sigmoid_focal_loss(soft * 8.0 - 4.0, m.astype(jnp.float32))
         return jnp.mean(fl)
 
-    return jax.vmap(jax.vmap(per_roi))(bube_corners, masks)
+    return jax.vmap(jax.vmap(per_roi))(corners, roi_masks)
 
 
 # ===========================================================================
@@ -692,14 +711,13 @@ class ROIHeads3DScore(ROIHeadsCommon):
 
         if "depth" in loss_fns and depth_maps is not None:
             per_box["Cube/loss_depth"] = depth_range_loss(
-                depth_maps, instance_masks,
-                None if instance_masks is None else fg,
+                depth_maps, instance_masks, rois.gt_idx,
                 gt_boxes_m, dec.cubes, image_wh)
             weights["Cube/loss_depth"] = rc.LOSS_W_DEPTH
 
         if "segmentation" in loss_fns and instance_masks is not None:
-            mh, mw = instance_masks.shape[-2:]
-            per_box["Cube/loss_seg"] = segment_loss(instance_masks, bube, (mh, mw))
+            per_box["Cube/loss_seg"] = segment_loss(
+                instance_masks, rois.gt_idx, bube, image_wh)
             weights["Cube/loss_seg"] = rc.LOSS_W_SEG
 
         losses.update(uncert_weight_and_reduce(
