@@ -36,3 +36,37 @@ class TestPallasROIAlign:
         want = _xla_single(feats, boxes, strides)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestTrainablePallasROIAlign:
+    def test_grad_matches_xla_autodiff(self, monkeypatch):
+        """custom_vjp backward must match jax.grad of the XLA formulation
+        (ROIAlign is linear in features, so grads are plan-determined)."""
+        rng = np.random.default_rng(3)
+        strides = (4, 8, 16, 32, 64)
+        feats = tuple(jnp.asarray(rng.normal(size=(1, 128 // s, 128 // s, 8))
+                                  .astype(np.float32)) for s in strides)
+        xy = rng.uniform(8, 60, (1, 6, 2))
+        wh = rng.uniform(10, 50, (1, 6, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+
+        from weakcube_tpu.ops import roi_align_pallas as rap
+        orig = rap.pl.pallas_call
+        monkeypatch.setattr(rap.pl, "pallas_call",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+
+        cot = jnp.asarray(rng.normal(size=(1, 6, 7, 7, 8)).astype(np.float32))
+
+        def loss_pallas(fs):
+            out = rap.roi_align_pallas_trainable(fs, boxes, strides, 7, 2, 2)
+            return jnp.sum(out * cot)
+
+        def loss_xla(fs):
+            out = ra.multilevel_roi_align(list(fs), boxes, strides, 7)
+            return jnp.sum(out * cot)
+
+        g_pallas = jax.grad(loss_pallas)(feats)
+        g_xla = jax.grad(loss_xla)(feats)
+        for a, b in zip(g_pallas, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, rtol=1e-3)

@@ -39,6 +39,8 @@ def main():
     cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
                                      "configs", "Omni_combined.yaml"))
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
+    if os.environ.get("BENCH_TRAIN_PALLAS"):
+        cfg.TPU.USE_PALLAS_ROI_ALIGN = True
     if os.environ.get("BENCH_TRAIN_SR"):
         cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = int(os.environ["BENCH_TRAIN_SR"])
     cfg.TPU.IMAGE_SIZE = S

@@ -517,7 +517,7 @@ class ROIHeadsCommon(nn.Module):
         use_pallas = ("USE_PALLAS_ROI_ALIGN" in self.cfg.TPU
                       and self.cfg.TPU.USE_PALLAS_ROI_ALIGN)
         if inference and use_pallas:
-            # forward-only Pallas kernel (no VJP): inference path only
+            # forward-only Pallas kernel: inference path
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
             f32 = [f.astype(jnp.float32) for f in feats]
             return multilevel_roi_align_pallas(f32, boxes, strides, resolution)
@@ -525,6 +525,11 @@ class ROIHeadsCommon(nn.Module):
         # equivalent is 2 samples/bin (d2's effective value at RoI ~ 14
         # units); values > 0 are honoured verbatim
         sr = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2
+        if use_pallas and sr == 2:
+            # training path: Pallas forward + linear scatter backward
+            from ..ops.roi_align_pallas import roi_align_pallas_trainable
+            return roi_align_pallas_trainable(tuple(feats), boxes,
+                                              tuple(strides), resolution, sr)
         return multilevel_roi_align(feats, boxes, strides, resolution,
                                     sampling_ratio=sr)
 

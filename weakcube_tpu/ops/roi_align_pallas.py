@@ -185,3 +185,123 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     fn = functools.partial(roi_align_pallas_single, strides=tuple(strides),
                            output_size=output_size, min_level=min_level)
     return jax.vmap(lambda fs, b: fn(fs, b))(list(features), boxes)
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: Pallas forward + linear scatter backward
+# ---------------------------------------------------------------------------
+# ROIAlign is LINEAR in the features, so the backward pass needs only the
+# bilinear index/weight plan, not the feature values: grad_features is a
+# scatter-add of (upstream grad x bilinear weight) at the same sample
+# positions the forward read. The forward runs the fast Pallas kernel; the
+# backward reuses the XLA formulation's sampling plan.
+
+def _sample_plan(boxes, feat_hw, strides, output_size, sampling_ratio, min_level):
+    """Bilinear sampling plan for one image: flat indices + weights for the
+    4 corners of every sample point. Mirrors ops.roi_align geometry."""
+    from .roi_align import assign_fpn_levels
+    R = boxes.shape[0]
+    L = len(feat_hw)
+    heights = jnp.asarray([h for h, w in feat_hw], jnp.int32)
+    widths = jnp.asarray([w for h, w in feat_hw], jnp.int32)
+    offsets = jnp.asarray(np.cumsum([0] + [h * w for h, w in feat_hw])[:-1],
+                          jnp.int32)
+    levels = assign_fpn_levels(boxes, min_level, min_level + L - 1) - min_level
+    inv_strides = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    scale = inv_strides[levels]
+    lvl_h = heights[levels]
+    lvl_w = widths[levels]
+    lvl_off = offsets[levels]
+
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    x2 = boxes[:, 2] * scale - 0.5
+    y2 = boxes[:, 3] * scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 1e-6)
+    roi_h = jnp.maximum(y2 - y1, 1e-6)
+    P = output_size * sampling_ratio
+    grid = (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
+    sx = x1[:, None] + roi_w[:, None] * grid
+    sy = y1[:, None] + roi_h[:, None] * grid
+
+    def prep(coord, size):
+        c = jnp.clip(coord, 0.0, size[:, None].astype(jnp.float32) - 1.0)
+        lo = jnp.floor(c)
+        frac = c - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size[:, None] - 1)
+        return lo, hi, frac
+
+    x_lo, x_hi, fx = prep(sx, lvl_w)
+    y_lo, y_hi, fy = prep(sy, lvl_h)
+
+    def flat_idx(yy, xx):
+        return (lvl_off[:, None, None] + yy[:, :, None] * lvl_w[:, None, None]
+                + xx[:, None, :])
+
+    idxs = [flat_idx(y_lo, x_lo), flat_idx(y_lo, x_hi),
+            flat_idx(y_hi, x_lo), flat_idx(y_hi, x_hi)]
+    ws = [(1 - fy)[:, :, None] * (1 - fx)[:, None, :],
+          (1 - fy)[:, :, None] * fx[:, None, :],
+          fy[:, :, None] * (1 - fx)[:, None, :],
+          fy[:, :, None] * fx[:, None, :]]
+    return idxs, ws, P
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def roi_align_pallas_trainable(features_tuple, boxes, strides=(4, 8, 16, 32, 64),
+                               output_size: int = 7, sampling_ratio: int = 2,
+                               min_level: int = 2):
+    """Differentiable multi-level ROIAlign with the Pallas forward.
+
+    features_tuple: tuple of (B, H_l, W_l, C) maps (tuple so it's a clean
+    pytree for custom_vjp); boxes: (B, R, 4). Returns (B, R, P, P, C) fp32.
+    """
+    f32 = [f.astype(jnp.float32) for f in features_tuple]
+    return multilevel_roi_align_pallas(f32, boxes, strides, output_size,
+                                       min_level)
+
+
+def _ra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
+            min_level):
+    out = roi_align_pallas_trainable(features_tuple, boxes, strides,
+                                     output_size, sampling_ratio, min_level)
+    # residuals hold the feature arrays only for their shapes/dtypes (the op
+    # is linear in features; in training they are alive anyway)
+    return out, (boxes, features_tuple)
+
+
+def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
+    boxes, features_tuple = res
+    shapes = tuple(f.shape for f in features_tuple)
+    dtypes = tuple(f.dtype for f in features_tuple)
+    B, R = boxes.shape[:2]
+    C = shapes[0][-1]
+    feat_hw = [(s[1], s[2]) for s in shapes]
+    sizes = [h * w for h, w in feat_hw]
+    total = sum(sizes)
+
+    def per_image(boxes_i, g_i):
+        idxs, ws, P = _sample_plan(boxes_i, feat_hw, strides, output_size,
+                                   sampling_ratio, min_level)
+        S = sampling_ratio
+        # upstream grad at sample resolution: each of the S x S samples in a
+        # bin receives g / S^2 (transpose of the average pool)
+        gs = jnp.repeat(jnp.repeat(g_i, S, axis=1), S, axis=2) / (S * S)
+        flat_grad = jnp.zeros((total, C), jnp.float32)
+        for idx, w in zip(idxs, ws):
+            vals = (gs * w[..., None]).reshape(R * P * P, C)
+            flat_grad = flat_grad.at[idx.reshape(-1)].add(vals)
+        return flat_grad
+
+    flat_grads = jax.vmap(per_image)(boxes, g)          # (B, total, C)
+    grads = []
+    off = 0
+    for (h, w), dt in zip(feat_hw, dtypes):
+        grads.append(flat_grads[:, off:off + h * w].reshape(-1, h, w, C)
+                     .astype(dt))
+        off += h * w
+    return tuple(grads), None
+
+
+roi_align_pallas_trainable.defvjp(_ra_fwd, _ra_bwd)
