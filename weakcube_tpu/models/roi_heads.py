@@ -525,7 +525,7 @@ class ROIHeadsCommon(nn.Module):
         # equivalent is 2 samples/bin (d2's effective value at RoI ~ 14
         # units); values > 0 are honoured verbatim
         sr = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2
-        if use_pallas and sr == 2:
+        if use_pallas:
             # training path: Pallas forward + linear scatter backward
             from ..ops.roi_align_pallas import roi_align_pallas_trainable
             return roi_align_pallas_trainable(tuple(feats), boxes,

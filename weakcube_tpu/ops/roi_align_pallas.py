@@ -43,7 +43,8 @@ WINDOW = 32
 WINDOW_Y = WINDOW + 8
 
 
-def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
+def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
+                      sampling_ratio: int = 2):
     """One program per RoI. stacked_ref: (sumH_padded, maxW*C) in HBM."""
     r = pl.program_id(0)
     C = out_ref.shape[-1]
@@ -65,15 +66,16 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
     sdx = frac_ref[r, 3]
 
     def weights(start, step, win):
-        # (P, win) averaged bilinear weight rows (Mosaic-friendly: int
-        # iota + hat function, no strided slicing)
+        # (P, win) bilinear weight rows with the per-bin sample averaging
+        # folded in (Mosaic-friendly: int iota + hat function, no slicing)
         bins = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
         grid = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
-        c0 = jnp.clip(start + (2 * bins) * step, 0.0, win - 1.0)
-        c1 = jnp.clip(start + (2 * bins + 1) * step, 0.0, win - 1.0)
-        w0 = jnp.maximum(1.0 - jnp.abs(grid - c0), 0.0)
-        w1 = jnp.maximum(1.0 - jnp.abs(grid - c1), 0.0)
-        return 0.5 * (w0 + w1)
+        S = sampling_ratio
+        acc = 0.0
+        for s in range(S):
+            c = jnp.clip(start + (S * bins + s) * step, 0.0, win - 1.0)
+            acc = acc + jnp.maximum(1.0 - jnp.abs(grid - c), 0.0)
+        return acc / S
 
     Wy = weights(sy0, sdy, WINDOW_Y)                   # (P, WINDOW_Y)
     Wx = weights(sx0, sdx, WINDOW)                     # (P, WINDOW)
@@ -90,10 +92,12 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
     out_ref[...] = jnp.swapaxes(b, 0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "strides", "min_level"))
+@functools.partial(jax.jit, static_argnames=("output_size", "strides",
+                                             "min_level", "sampling_ratio"))
 def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                             strides=(4, 8, 16, 32, 64), output_size: int = 7,
-                            min_level: int = 2) -> jnp.ndarray:
+                            min_level: int = 2,
+                            sampling_ratio: int = 2) -> jnp.ndarray:
     """Single-image Pallas ROIAlign: features [(H_l, W_l, C)], boxes (R, 4)
     -> (R, 7, 7, C)."""
     R = boxes.shape[0]
@@ -133,7 +137,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     roi_w = jnp.maximum(x2 - x1, 1e-6)
     roi_h = jnp.maximum(y2 - y1, 1e-6)
 
-    P2 = output_size * 2
+    P2 = output_size * sampling_ratio
     sy_start = y1 + roi_h / P2 * 0.5
     sx_start = x1 + roi_w / P2 * 0.5
     sdy = roi_h / P2
@@ -166,7 +170,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
 
     def kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem):
         _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref.at[0],
-                          tile, sem)
+                          tile, sem, sampling_ratio)
 
     return pl.pallas_call(
         kernel,
@@ -180,10 +184,12 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 boxes: jnp.ndarray,
                                 strides=(4, 8, 16, 32, 64),
                                 output_size: int = 7,
-                                min_level: int = 2) -> jnp.ndarray:
+                                min_level: int = 2,
+                                sampling_ratio: int = 2) -> jnp.ndarray:
     """Batched wrapper: features [(B, H, W, C)], boxes (B, R, 4)."""
     fn = functools.partial(roi_align_pallas_single, strides=tuple(strides),
-                           output_size=output_size, min_level=min_level)
+                           output_size=output_size, min_level=min_level,
+                           sampling_ratio=sampling_ratio)
     return jax.vmap(lambda fs, b: fn(fs, b))(list(features), boxes)
 
 
@@ -259,7 +265,7 @@ def roi_align_pallas_trainable(features_tuple, boxes, strides=(4, 8, 16, 32, 64)
     """
     f32 = [f.astype(jnp.float32) for f in features_tuple]
     return multilevel_roi_align_pallas(f32, boxes, strides, output_size,
-                                       min_level)
+                                       min_level, sampling_ratio)
 
 
 def _ra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
