@@ -154,3 +154,111 @@ class TestDeformableAttention:
                             bilinear(img[:, :, hd], x, y)
         np.testing.assert_allclose(got.reshape(B, Q, H_heads, Dh), want,
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestSamConverter:
+    def test_tree_structure_matches_model(self):
+        """Converter output key paths must be a subtree of the model's
+        parameter tree (so restored checkpoints apply cleanly)."""
+        from weakcube_tpu.data.pseudo_gt.sam import (Sam, SAM_SPECS,
+                                                     convert_torch_checkpoint)
+        variant = "vit_tiny"
+        dim, depth, heads, global_idx = SAM_SPECS[variant]
+        dh = dim // heads
+        rng = np.random.default_rng(0)
+
+        # synthesize an official-naming state dict (shapes per vit_tiny at
+        # 256 px input -> 16x16 grid)
+        sd = {}
+        sd["image_encoder.patch_embed.proj.weight"] = rng.normal(size=(dim, 3, 16, 16))
+        sd["image_encoder.patch_embed.proj.bias"] = np.zeros(dim)
+        sd["image_encoder.pos_embed"] = rng.normal(size=(1, 16, 16, dim))
+        for i in range(depth):
+            p = f"image_encoder.blocks.{i}."
+            win = 16 if i in global_idx else 14
+            sd[p + "norm1.weight"] = np.ones(dim); sd[p + "norm1.bias"] = np.zeros(dim)
+            sd[p + "norm2.weight"] = np.ones(dim); sd[p + "norm2.bias"] = np.zeros(dim)
+            sd[p + "attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)) * 0.02
+            sd[p + "attn.qkv.bias"] = np.zeros(3 * dim)
+            sd[p + "attn.proj.weight"] = rng.normal(size=(dim, dim)) * 0.02
+            sd[p + "attn.proj.bias"] = np.zeros(dim)
+            sd[p + "attn.rel_pos_h"] = np.zeros((2 * win - 1, dh))
+            sd[p + "attn.rel_pos_w"] = np.zeros((2 * win - 1, dh))
+            sd[p + "mlp.lin1.weight"] = rng.normal(size=(4 * dim, dim)) * 0.02
+            sd[p + "mlp.lin1.bias"] = np.zeros(4 * dim)
+            sd[p + "mlp.lin2.weight"] = rng.normal(size=(dim, 4 * dim)) * 0.02
+            sd[p + "mlp.lin2.bias"] = np.zeros(dim)
+        E = 256
+        sd["image_encoder.neck.0.weight"] = rng.normal(size=(E, dim, 1, 1)) * 0.02
+        sd["image_encoder.neck.1.weight"] = np.ones(E)
+        sd["image_encoder.neck.1.bias"] = np.zeros(E)
+        sd["image_encoder.neck.2.weight"] = rng.normal(size=(E, E, 3, 3)) * 0.02
+        sd["image_encoder.neck.3.weight"] = np.ones(E)
+        sd["image_encoder.neck.3.bias"] = np.zeros(E)
+        sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
+            rng.normal(size=(2, E // 2))
+        for i in range(4):
+            sd[f"prompt_encoder.point_embeddings.{i}.weight"] = \
+                rng.normal(size=(1, E)) * 0.02
+        md = "mask_decoder."
+        sd[md + "iou_token.weight"] = rng.normal(size=(1, E)) * 0.02
+        sd[md + "mask_tokens.weight"] = rng.normal(size=(4, E)) * 0.02
+        sd[md + "hf_token.weight"] = rng.normal(size=(1, E)) * 0.02
+        for bi in range(2):
+            tp = f"{md}transformer.layers.{bi}."
+            for an, d_attn in (("self_attn.", E), ("cross_attn_token_to_image.", E // 2),
+                               ("cross_attn_image_to_token.", E // 2)):
+                for nm in ("q_proj", "k_proj", "v_proj"):
+                    sd[tp + an + nm + ".weight"] = rng.normal(size=(d_attn, E)) * 0.02
+                    sd[tp + an + nm + ".bias"] = np.zeros(d_attn)
+                sd[tp + an + "out_proj.weight"] = rng.normal(size=(E, d_attn)) * 0.02
+                sd[tp + an + "out_proj.bias"] = np.zeros(E)
+            for ni in range(1, 5):
+                sd[tp + f"norm{ni}.weight"] = np.ones(E)
+                sd[tp + f"norm{ni}.bias"] = np.zeros(E)
+            sd[tp + "mlp.lin1.weight"] = rng.normal(size=(2048, E)) * 0.02
+            sd[tp + "mlp.lin1.bias"] = np.zeros(2048)
+            sd[tp + "mlp.lin2.weight"] = rng.normal(size=(E, 2048)) * 0.02
+            sd[tp + "mlp.lin2.bias"] = np.zeros(E)
+        fa = md + "transformer.final_attn_token_to_image."
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            sd[fa + nm + ".weight"] = rng.normal(size=(E // 2, E)) * 0.02
+            sd[fa + nm + ".bias"] = np.zeros(E // 2)
+        sd[fa + "out_proj.weight"] = rng.normal(size=(E, E // 2)) * 0.02
+        sd[fa + "out_proj.bias"] = np.zeros(E)
+        sd[md + "transformer.norm_final_attn.weight"] = np.ones(E)
+        sd[md + "transformer.norm_final_attn.bias"] = np.zeros(E)
+        sd[md + "output_upscaling.0.weight"] = rng.normal(size=(E, E // 4, 2, 2)) * 0.02
+        sd[md + "output_upscaling.0.bias"] = np.zeros(E // 4)
+        sd[md + "output_upscaling.1.weight"] = np.ones(E // 4)
+        sd[md + "output_upscaling.1.bias"] = np.zeros(E // 4)
+        sd[md + "output_upscaling.3.weight"] = rng.normal(size=(E // 4, E // 8, 2, 2)) * 0.02
+        sd[md + "output_upscaling.3.bias"] = np.zeros(E // 8)
+        for li, width in ((0, E), (1, E), (2, E // 8)):
+            prev = E if li == 0 else E
+            sd[md + f"hf_mlp.layers.{li}.weight"] = rng.normal(size=(width, prev)) * 0.02
+            sd[md + f"hf_mlp.layers.{li}.bias"] = np.zeros(width)
+        sd[md + "compress_vit_feat.0.weight"] = rng.normal(size=(dim, E // 8, 4, 4)) * 0.02
+        sd[md + "compress_vit_feat.0.bias"] = np.zeros(E // 8)
+        sd[md + "embedding_encoder.0.weight"] = rng.normal(size=(E, E // 8, 4, 4)) * 0.02
+        sd[md + "embedding_encoder.0.bias"] = np.zeros(E // 8)
+
+        converted = convert_torch_checkpoint(sd, variant, hq=True)
+
+        model = Sam(variant=variant, dtype=jnp.float32)
+        x = jnp.zeros((1, 256, 256, 3))
+        boxes = jnp.asarray([[[10.0, 10, 200, 200]]])
+        init = model.init(jax.random.PRNGKey(0), x, boxes)["params"]
+
+        def paths(tree, prefix=""):
+            out = set()
+            for k, v in tree.items():
+                p = f"{prefix}/{k}"
+                if isinstance(v, dict):
+                    out |= paths(v, p)
+                else:
+                    out.add(p)
+            return out
+
+        missing = paths(converted) - paths(init)
+        assert not missing, f"converter emits unknown params: {sorted(missing)[:10]}"

@@ -357,3 +357,138 @@ def preprocess_sam(images: Sequence[np.ndarray]) -> np.ndarray:
                                                                     Image.BILINEAR))
         out[i, :nh, :nw] = (r - mean) / std
     return out
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (segment_anything / sam-hq naming)
+# ---------------------------------------------------------------------------
+
+def convert_torch_checkpoint(state_dict, variant: str = "vit_b",
+                             hq: bool = True):
+    """Map a released sam_(hq_)vit_*.pth state_dict onto this parameter
+    tree. Accepts numpy-valued dicts. Depth/head counts from SAM_SPECS.
+
+    Coverage notes (kept in sync with the module structure):
+      * image encoder: patch embed, pos embed, windowed/global blocks with
+        decomposed rel-pos, 2-conv neck (LayerNorm2d -> LayerNorm over C);
+      * prompt encoder: positional gaussian matrix + box-corner type
+        embeddings (point_embeddings 2 and 3 in the official layout);
+      * mask decoder: two-way blocks, final attention, upscaling convs,
+        hypernetwork MLP (token 0), iou/mask tokens;
+      * HQ extras: hf_token, compress_vit_feat / embedding_encoder fusion
+        (mapped onto hq_compress_early / hq_compress_final).
+    """
+    import numpy as np
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    dim, depth, heads, global_idx = SAM_SPECS[variant]
+
+    def conv(w):
+        return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+    def convT(w):
+        return np.transpose(w, (2, 3, 1, 0))  # torch ConvTranspose IOHW->HWOI? see note
+
+    enc = {}
+    enc["patch_embed"] = {
+        "kernel": conv(sd["image_encoder.patch_embed.proj.weight"]),
+        "bias": sd["image_encoder.patch_embed.proj.bias"]}
+    enc["pos_embed"] = sd["image_encoder.pos_embed"]
+    for i in range(depth):
+        p = f"image_encoder.blocks.{i}."
+        blk = {
+            "norm1": {"scale": sd[p + "norm1.weight"], "bias": sd[p + "norm1.bias"]},
+            "norm2": {"scale": sd[p + "norm2.weight"], "bias": sd[p + "norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[p + "attn.qkv.weight"].T,
+                        "bias": sd[p + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[p + "attn.proj.weight"].T,
+                         "bias": sd[p + "attn.proj.bias"]},
+                "rel_pos_h": sd[p + "attn.rel_pos_h"],
+                "rel_pos_w": sd[p + "attn.rel_pos_w"],
+            },
+            "mlp_fc1": {"kernel": sd[p + "mlp.lin1.weight"].T,
+                        "bias": sd[p + "mlp.lin1.bias"]},
+            "mlp_fc2": {"kernel": sd[p + "mlp.lin2.weight"].T,
+                        "bias": sd[p + "mlp.lin2.bias"]},
+        }
+        enc[f"block{i}"] = blk
+    enc["neck_conv1"] = {"kernel": conv(sd["image_encoder.neck.0.weight"])}
+    enc["neck_ln1"] = {"scale": sd["image_encoder.neck.1.weight"],
+                       "bias": sd["image_encoder.neck.1.bias"]}
+    enc["neck_conv2"] = {"kernel": conv(sd["image_encoder.neck.2.weight"])}
+    enc["neck_ln2"] = {"scale": sd["image_encoder.neck.3.weight"],
+                       "bias": sd["image_encoder.neck.3.bias"]}
+
+    prompt = {
+        "pe_gaussian": sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"],
+        # box prompts use corner-type embeddings 2 (top-left) and 3
+        # (bottom-right) in the official layout
+        "corner_embed": np.stack([
+            sd["prompt_encoder.point_embeddings.2.weight"][0],
+            sd["prompt_encoder.point_embeddings.3.weight"][0]]),
+    }
+
+    dec = {}
+    md = "mask_decoder."
+    dec["iou_token"] = sd[md + "iou_token.weight"]
+    dec["mask_tokens"] = sd[md + "mask_tokens.weight"]
+    if hq and md + "hf_token.weight" in sd:
+        dec["mask_tokens"] = np.concatenate(
+            [sd[md + "mask_tokens.weight"], sd[md + "hf_token.weight"]], 0)
+
+    def attn(prefix):
+        return {
+            "q": {"kernel": sd[prefix + "q_proj.weight"].T,
+                  "bias": sd[prefix + "q_proj.bias"]},
+            "k": {"kernel": sd[prefix + "k_proj.weight"].T,
+                  "bias": sd[prefix + "k_proj.bias"]},
+            "v": {"kernel": sd[prefix + "v_proj.weight"].T,
+                  "bias": sd[prefix + "v_proj.bias"]},
+            "out": {"kernel": sd[prefix + "out_proj.weight"].T,
+                    "bias": sd[prefix + "out_proj.bias"]},
+        }
+
+    for bi in range(2):
+        tp = f"{md}transformer.layers.{bi}."
+        dec[f"block{bi}"] = {
+            "self_attn": attn(tp + "self_attn."),
+            "cross_t2i": attn(tp + "cross_attn_token_to_image."),
+            "cross_i2t": attn(tp + "cross_attn_image_to_token."),
+            "norm1": {"scale": sd[tp + "norm1.weight"], "bias": sd[tp + "norm1.bias"]},
+            "norm2": {"scale": sd[tp + "norm2.weight"], "bias": sd[tp + "norm2.bias"]},
+            "norm3": {"scale": sd[tp + "norm3.weight"], "bias": sd[tp + "norm3.bias"]},
+            "norm4": {"scale": sd[tp + "norm4.weight"], "bias": sd[tp + "norm4.bias"]},
+            "mlp_fc1": {"kernel": sd[tp + "mlp.lin1.weight"].T,
+                        "bias": sd[tp + "mlp.lin1.bias"]},
+            "mlp_fc2": {"kernel": sd[tp + "mlp.lin2.weight"].T,
+                        "bias": sd[tp + "mlp.lin2.bias"]},
+        }
+    dec["final_attn"] = attn(md + "transformer.final_attn_token_to_image.")
+    dec["final_norm"] = {
+        "scale": sd[md + "transformer.norm_final_attn.weight"],
+        "bias": sd[md + "transformer.norm_final_attn.bias"]}
+    dec["upscale1"] = {"kernel": convT(sd[md + "output_upscaling.0.weight"]),
+                       "bias": sd[md + "output_upscaling.0.bias"]}
+    dec["upscale_ln"] = {"scale": sd[md + "output_upscaling.1.weight"],
+                         "bias": sd[md + "output_upscaling.1.bias"]}
+    dec["upscale2"] = {"kernel": convT(sd[md + "output_upscaling.3.weight"]),
+                       "bias": sd[md + "output_upscaling.3.bias"]}
+    hyper_name = "hyper_hq" if hq and md + "hf_mlp.layers.0.weight" in sd \
+        else "hyper"
+    mlp_src = md + ("hf_mlp.layers." if hyper_name == "hyper_hq"
+                    else "output_hypernetworks_mlps.0.layers.")
+    for li, dst in enumerate((f"{hyper_name}_fc1", f"{hyper_name}_fc2",
+                              f"{hyper_name}_fc3")):
+        dec[dst] = {"kernel": sd[mlp_src + f"{li}.weight"].T,
+                    "bias": sd[mlp_src + f"{li}.bias"]}
+    if hq and md + "compress_vit_feat.0.weight" in sd:
+        dec["hq_compress_early"] = {
+            "kernel": convT(sd[md + "compress_vit_feat.0.weight"]),
+            "bias": sd[md + "compress_vit_feat.0.bias"]}
+        dec["hq_compress_final"] = {
+            "kernel": convT(sd[md + "embedding_encoder.0.weight"]),
+            "bias": sd[md + "embedding_encoder.0.bias"]}
+
+    return {"image_encoder": enc, "prompt_encoder": prompt,
+            "mask_decoder": dec, "dense_pe":
+            sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]}
