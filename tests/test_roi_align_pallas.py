@@ -34,8 +34,10 @@ class TestPallasROIAlign:
                             lambda *a, **k: orig(*a, interpret=True, **k))
         got = rap.roi_align_pallas_single(feats, boxes, strides)
         want = _xla_single(feats, boxes, strides)
+        # the kernel stages window tiles in bf16 (halves the dominant DMA
+        # cost); tolerance reflects bf16 mantissa on ~N(0,1) features
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-4, rtol=1e-3)
+                                   atol=2e-2, rtol=2e-2)
 
 
 class TestTrainablePallasROIAlign:

@@ -77,7 +77,7 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
             acc = acc + jnp.maximum(1.0 - jnp.abs(grid - c), 0.0)
         return acc / S
 
-    Wy = weights(sy0, sdy, WINDOW_Y)                   # (P, WINDOW_Y)
+    Wy = weights(sy0, sdy, WINDOW_Y).astype(jnp.bfloat16)  # (P, WINDOW_Y)
     Wx = weights(sx0, sdx, WINDOW)                     # (P, WINDOW)
 
     # contract y: (P, WINDOW_Y) @ (WINDOW_Y, WINDOW*C) -> (P, WINDOW, C)
@@ -117,7 +117,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         H, W = f.shape[:2]
         Hp = max(WINDOW_Y, -(-H // 8) * 8)
         f = jnp.pad(f, ((0, Hp - H), (0, maxW - W), (0, 0)))
-        rows.append(f.reshape(Hp, maxW * C))
+        rows.append(f.reshape(Hp, maxW * C).astype(jnp.bfloat16))
         row_offsets.append(off)
         heights_padded.append(Hp)
         off += Hp
@@ -164,7 +164,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         out_specs=pl.BlockSpec((1, output_size, output_size, C),
                                lambda r, *_: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA],
     )
 
