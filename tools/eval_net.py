@@ -118,8 +118,10 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
     vis_budget = int(os.environ.get("WEAKCUBE_EVAL_VIS", 0))
     t0 = time.time()
     n_img = 0
-    for batch in build_test_batches(cfg, records, batch_size=batch_size,
-                                    loaders=loaders):
+    from weakcube_tpu.data.build import prefetch
+    for batch in prefetch(build_test_batches(cfg, records,
+                                             batch_size=batch_size,
+                                             loaders=loaders)):
         model_batch = {k: batch[k] for k in
                        ("image", "image_wh", "K", "gt", "depth_map",
                         "ground_mask", "ground_valid") if k in batch}

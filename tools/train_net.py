@@ -145,13 +145,20 @@ def do_train(cfg, args, records, loaders, num_classes):
     storage = EventStorage(start_iter)
     writers = default_writers(cfg.OUTPUT_DIR, use_wandb=bool(cfg.log))
 
+    from weakcube_tpu.utils.util import ETA
+    eta = ETA(max_iter - start_iter)
     attempt = 1
     it = start_iter
+    data_time = step_time = 0.0
     while it < max_iter:
         if args.profile and it == start_iter + 10:
             jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR, "profile"))
+        t_d = time.time()
         batch = shard_batch(next(batches), mesh)
+        data_time += time.time() - t_d
+        t_s = time.time()
         state, logs = train_step(state, batch, jax.random.fold_in(rng, it))
+        step_time += time.time() - t_s
         it += 1
         storage.step()
         if args.profile and it == start_iter + 20:
@@ -185,10 +192,15 @@ def do_train(cfg, args, records, loaders, num_classes):
                 w.write(storage)
             dt = (time.time() - t0) / log_period
             t0 = time.time()
-            logger.info("iter %d/%d  loss %.4f  (%.2fs/it)  %s", it, max_iter,
+            remaining = eta.tick(log_period)
+            logger.info("iter %d/%d  loss %.4f  (%.2fs/it: data %.2f, step %.2f; "
+                        "eta %dm)  %s", it, max_iter,
                         host_logs["total_loss"], dt,
+                        data_time / log_period, step_time / log_period,
+                        int(remaining // 60),
                         " ".join(f"{k}={v:.3f}" for k, v in sorted(host_logs.items())
                                  if k.startswith(("rpn", "BoxHead", "Cube"))))
+            data_time = step_time = 0.0
         ckpt.step(it - 1, state)
 
         # restart-from-checkpoint when too many updates exploded

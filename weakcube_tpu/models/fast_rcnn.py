@@ -114,7 +114,9 @@ def fast_rcnn_inference(scores: jnp.ndarray, boxes_per_class: jnp.ndarray,
         roi_idx = flat_idx // C
         cls_idx = flat_idx % C
         cand_boxes = box_ops.clip_boxes(boxes_i[roi_idx, cls_idx], wh)
-        cand_valid = top_p > score_thresh
+        # drop non-finite candidates (reference fast_rcnn.py:76-79)
+        finite = jnp.all(jnp.isfinite(cand_boxes), -1) & jnp.isfinite(top_p)
+        cand_valid = (top_p > score_thresh) & finite
         keep = nms_ops.batched_nms_mask(cand_boxes, top_p, cls_idx, nms_thresh,
                                         valid=cand_valid)
         bk, sk, vk, sel = nms_ops.topk_after_nms(cand_boxes, top_p, keep, topk_per_image)
