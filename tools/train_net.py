@@ -123,13 +123,24 @@ def do_train(cfg, args, records, loaders, num_classes):
     variables = model.init({"params": rng}, first, train=True,
                            rng=jax.random.fold_in(rng, 1))
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     if cfg.MODEL.WEIGHTS_PRETRAIN:
-        params = load_weights_pretrain(cfg.MODEL.WEIGHTS_PRETRAIN, params)
+        src = cfg.MODEL.WEIGHTS_PRETRAIN
+        if src.startswith("cubercnn://"):
+            from weakcube_tpu.utils.model_zoo import resolve
+            src = resolve(src)
+        if src.endswith(".pth"):
+            # released detectron2 checkpoint -> convert
+            from weakcube_tpu.utils.torch_convert import load_pth
+            from weakcube_tpu.utils.zoo_convert import convert_zoo_checkpoint
+            params, batch_stats = convert_zoo_checkpoint(load_pth(src), cfg)
+        else:
+            params = load_weights_pretrain(src, params)
         logger.info("warm-started weights from %s", cfg.MODEL.WEIGHTS_PRETRAIN)
     tx = build_optimizer(cfg, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         opt_state=tx.init(params), loss_ema=jnp.zeros(()),
         ema_init=jnp.zeros((), bool), skipped=jnp.zeros((), jnp.int32),
         applied=jnp.zeros((), jnp.int32))
