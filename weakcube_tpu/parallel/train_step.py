@@ -56,14 +56,24 @@ def create_train_state(model, tx, batch, rng) -> Tuple[TrainState, Any]:
     ), variables
 
 
-def make_train_step(model, tx) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, logs)."""
+def make_train_step(model, tx, remat: bool = False) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, logs).
+
+    remat=True wraps the forward in jax.checkpoint (rematerialisation),
+    trading recompute for activation memory — the standard lever for larger
+    per-chip batches (cfg.TPU REMAT knob in the trainer).
+    """
 
     def step_fn(state: TrainState, batch, rng):
-        def loss_fn(params):
-            (losses, metrics), mut = model.apply(
+        def fwd(params):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True, rng=rng, mutable=["batch_stats"])
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            (losses, metrics), mut = fwd(params)
             total = jnp.sum(jnp.stack([v for v in losses.values()]))
             return total, (losses, metrics, mut)
 

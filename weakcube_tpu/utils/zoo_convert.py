@@ -164,3 +164,10 @@ def convert_zoo_checkpoint(sd: Dict[str, np.ndarray], cfg) -> Tuple[Dict, Dict]:
     params["roi_heads"] = convert_roi_heads(
         sd, shared_fc=cfg.MODEL.ROI_CUBE_HEAD.SHARED_FC)
     return params, stats
+
+
+def convert_dla_imagenet(sd: Dict[str, np.ndarray], dla_type: str = "dla34"):
+    """ImageNet-pretrained DLA trunk (the reference's dla34 pretrained
+    weights use bare `base_layer./level0.` naming, dla.py:312-415):
+    -> (params, batch_stats) for models.backbone.dla.DLABottomUp."""
+    return convert_dla_bottom_up(sd, dla_type, prefix="")
