@@ -119,6 +119,7 @@ class CubeDecode(NamedTuple):
     uncert: jnp.ndarray       # (B, S)
     cubes: cuboids.Cubes      # (B, S) full cubes (camera space)
     virtual_to_real: jnp.ndarray  # (B, S)
+    z_cluster_stats: Optional[jnp.ndarray] = None  # (B, S, 2) [mean, std]
 
 
 def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
@@ -196,7 +197,8 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
         z_norm = jax.nn.sigmoid(z_norm)
     elif cfg_head.Z_TYPE == "log":
         z = jnp.exp(z)
-    elif cfg_head.Z_TYPE == "clusters" and z_stats is not None \
+    z_cluster_stats = None
+    if cfg_head.Z_TYPE == "clusters" and z_stats is not None \
             and assignments is not None:
         # scaled sigmoid into +-3 sigma of the assigned cluster's depth
         # statistics (roi_heads.py:886-902)
@@ -208,6 +210,7 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
         lo = jnp.clip(z_means - 3 * z_stds, 0.0)
         hi = z_means + 3 * z_stds
         z = cuboids.scaled_sigmoid(z, lo, hi)
+        z_cluster_stats = jnp.stack([z_means, z_stds], -1)
 
     fy = K[:, 1, 1]
     v2r = (cfg_head.VIRTUAL_FOCAL / jnp.maximum(fy, 1e-6))[:, None] \
@@ -218,7 +221,7 @@ def decode_cube_predictions(deltas_2d, z_raw, dims_raw, pose_raw, uncert,
     ctr3d = cuboids.backproject(jnp.stack([x, y], -1), z, K[:, None])
     cubes = cuboids.Cubes.from_parts(ctr3d, dims, pose)
     return CubeDecode(x, y, z, z_norm, dims, dims_norm, pose, pose_allo,
-                      unc, cubes, v2r)
+                      unc, cubes, v2r, z_cluster_stats)
 
 
 # ===========================================================================
@@ -833,7 +836,13 @@ class ROIHeads3D(ROIHeadsCommon):
             elif rc.Z_TYPE == "log":
                 per_box["Cube/loss_z"] = jnp.abs(
                     dec.z_norm - jnp.log(jnp.maximum(gt_z * r2v, 0.01)))
-            else:  # 'direct' and 'clusters' fall back to metric L1
+            elif rc.Z_TYPE == "clusters" and dec.z_cluster_stats is not None:
+                # standardised z-score target (roi_heads.py:1952-1953)
+                mu = dec.z_cluster_stats[..., 0]
+                sig = jnp.maximum(dec.z_cluster_stats[..., 1], 1e-6)
+                per_box["Cube/loss_z"] = jnp.abs(
+                    dec.z_norm - (gt_z * r2v - mu) / sig)
+            else:  # 'direct'
                 per_box["Cube/loss_z"] = jnp.abs(dec.z - gt_z)
 
         weights.update({"Cube/loss_z": rc.LOSS_W_Z, "Cube/loss_xy": rc.LOSS_W_XY,
