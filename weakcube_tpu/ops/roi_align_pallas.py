@@ -20,8 +20,11 @@ to < 28 feature units for images <= ~720 px, so a 32-unit window covers
 every sample with edge clamping — the same border clamp ROIAlign performs.
 Callers with larger inputs use the XLA path.
 
-Forward-only: training keeps the differentiable gather formulation;
-inference — the bench-critical path — uses this.
+Window tiles are staged in bf16 (halves the dominant DMA cost; matmuls
+accumulate fp32 on the MXU). Training uses `roi_align_pallas_trainable`
+below: this kernel as the forward plus a linear scatter-add backward
+(custom_vjp) — ROIAlign is linear in the features, so gradients depend only
+on the bilinear sampling plan.
 """
 from __future__ import annotations
 
