@@ -71,12 +71,30 @@ def build_data(cfg, args):
     """Return (records, loaders, num_classes)."""
     from weakcube_tpu.data import datasets as ds
     if args.synthetic:
+        from functools import lru_cache
+
         from weakcube_tpu.data import synthetic
         records = synthetic.make_dataset(args.synthetic, seed=0)
+        by_id = {r["image_id"]: r for r in records}
+
+        # memoise per-record renders: the scene set is small and static, and
+        # re-rendering every sample makes the loop host-bound at 512 px
+        @lru_cache(maxsize=4096)
+        def _img(i):
+            return synthetic.render_image(by_id[i]["_scene"])
+
+        @lru_cache(maxsize=4096)
+        def _depth(i):
+            return synthetic.render_depth(by_id[i]["_scene"])
+
+        @lru_cache(maxsize=4096)
+        def _ground(i):
+            return synthetic.ground_mask(by_id[i]["_scene"])
+
         loaders = {
-            "image": lambda r: synthetic.render_image(r["_scene"]),
-            "depth": lambda r: synthetic.render_depth(r["_scene"]),
-            "ground": lambda r: synthetic.ground_mask(r["_scene"]),
+            "image": lambda r: _img(r["image_id"]),
+            "depth": lambda r: _depth(r["image_id"]),
+            "ground": lambda r: _ground(r["image_id"]),
         }
         return records, loaders, len(synthetic.CATEGORIES)
 
