@@ -156,6 +156,153 @@ class TestDeformableAttention:
                                    atol=2e-5, rtol=1e-4)
 
 
+class TestGDinoConverter:
+    def test_tree_matches_model_exactly(self):
+        """Synthesize the official groundingdino_swint_ogc state_dict layout
+        (IDEA-Research naming) and check the converter emits EXACTLY the
+        model's parameter tree — same key paths, same shapes. eval_shape
+        keeps this cheap at full model size."""
+        from weakcube_tpu.data.pseudo_gt.grounding_dino import (
+            GroundingDINO, MAX_TEXT, convert_torch_checkpoint)
+
+        def lin(sd, name, dout, din):
+            sd[name + ".weight"] = np.zeros((dout, din), np.float32)
+            sd[name + ".bias"] = np.zeros(dout, np.float32)
+
+        def norm(sd, name, d=256):
+            sd[name + ".weight"] = np.ones(d, np.float32)
+            sd[name + ".bias"] = np.zeros(d, np.float32)
+
+        def mha(sd, name, d):
+            sd[name + ".in_proj_weight"] = np.zeros((3 * d, d), np.float32)
+            sd[name + ".in_proj_bias"] = np.zeros(3 * d, np.float32)
+            lin(sd, name + ".out_proj", d, d)
+
+        def deform(sd, name, d=256):
+            lin(sd, name + ".value_proj", d, d)
+            lin(sd, name + ".sampling_offsets", 8 * 4 * 4 * 2, d)
+            lin(sd, name + ".attention_weights", 8 * 4 * 4, d)
+            lin(sd, name + ".output_proj", d, d)
+
+        def mlp(sd, name, dims, din):
+            for i, d in enumerate(dims):
+                lin(sd, f"{name}.layers.{i}", d, din)
+                din = d
+
+        sd = {}
+        # ---- Swin-T trunk (backbone.0.) ----
+        sd["backbone.0.patch_embed.proj.weight"] = np.zeros((96, 3, 4, 4), np.float32)
+        sd["backbone.0.patch_embed.proj.bias"] = np.zeros(96, np.float32)
+        norm(sd, "backbone.0.patch_embed.norm", 96)
+        for si, (depth, heads) in enumerate(zip((2, 2, 6, 2), (3, 6, 12, 24))):
+            dim = 96 * 2 ** si
+            for bi in range(depth):
+                b = f"backbone.0.layers.{si}.blocks.{bi}."
+                norm(sd, b + "norm1", dim)
+                norm(sd, b + "norm2", dim)
+                lin(sd, b + "attn.qkv", 3 * dim, dim)
+                lin(sd, b + "attn.proj", dim, dim)
+                sd[b + "attn.relative_position_bias_table"] = \
+                    np.zeros((13 * 13, heads), np.float32)
+                lin(sd, b + "mlp.fc1", 4 * dim, dim)
+                lin(sd, b + "mlp.fc2", dim, 4 * dim)
+            if si < 3:
+                sd[f"backbone.0.layers.{si}.downsample.reduction.weight"] = \
+                    np.zeros((2 * dim, 4 * dim), np.float32)
+                norm(sd, f"backbone.0.layers.{si}.downsample.norm", 4 * dim)
+        for si in (1, 2, 3):
+            norm(sd, f"backbone.0.norm{si}", 96 * 2 ** si)
+
+        # ---- BERT-base (bert.) ----
+        sd["bert.embeddings.word_embeddings.weight"] = np.zeros((30522, 768), np.float32)
+        sd["bert.embeddings.token_type_embeddings.weight"] = np.zeros((2, 768), np.float32)
+        sd["bert.embeddings.position_embeddings.weight"] = np.zeros((512, 768), np.float32)
+        norm(sd, "bert.embeddings.LayerNorm", 768)
+        for i in range(12):
+            b = f"bert.encoder.layer.{i}."
+            lin(sd, b + "attention.self.query", 768, 768)
+            lin(sd, b + "attention.self.key", 768, 768)
+            lin(sd, b + "attention.self.value", 768, 768)
+            lin(sd, b + "attention.output.dense", 768, 768)
+            norm(sd, b + "attention.output.LayerNorm", 768)
+            lin(sd, b + "intermediate.dense", 3072, 768)
+            lin(sd, b + "output.dense", 768, 3072)
+            norm(sd, b + "output.LayerNorm", 768)
+
+        lin(sd, "feat_map", 256, 768)
+        for i, cin in enumerate((192, 384, 768, 768)):
+            k = 1 if i < 3 else 3
+            sd[f"input_proj.{i}.0.weight"] = np.zeros((256, cin, k, k), np.float32)
+            sd[f"input_proj.{i}.0.bias"] = np.zeros(256, np.float32)
+            norm(sd, f"input_proj.{i}.1", 256)
+        sd["transformer.level_embed"] = np.zeros((4, 256), np.float32)
+
+        for i in range(6):
+            e = f"transformer.encoder.layers.{i}."
+            deform(sd, e + "self_attn")
+            norm(sd, e + "norm1"); norm(sd, e + "norm2")
+            lin(sd, e + "linear1", 2048, 256)
+            lin(sd, e + "linear2", 256, 2048)
+            f = f"transformer.encoder.fusion_layers.{i}."
+            norm(sd, f + "layer_norm_v", 256)
+            norm(sd, f + "layer_norm_l", 256)
+            lin(sd, f + "attn.v_proj", 1024, 256)
+            lin(sd, f + "attn.l_proj", 1024, 256)
+            lin(sd, f + "attn.values_v_proj", 1024, 256)
+            lin(sd, f + "attn.values_l_proj", 1024, 256)
+            lin(sd, f + "attn.out_v_proj", 256, 1024)
+            lin(sd, f + "attn.out_l_proj", 256, 1024)
+            sd[f + "gamma_v"] = np.zeros(256, np.float32)
+            sd[f + "gamma_l"] = np.zeros(256, np.float32)
+            t = f"transformer.encoder.text_layers.{i}."
+            mha(sd, t + "self_attn", 256)
+            norm(sd, t + "norm1"); norm(sd, t + "norm2")
+            lin(sd, t + "linear1", 1024, 256)
+            lin(sd, t + "linear2", 256, 1024)
+
+        lin(sd, "transformer.enc_output", 256, 256)
+        norm(sd, "transformer.enc_output_norm", 256)
+        mlp(sd, "transformer.enc_out_bbox_embed", (256, 256, 4), 256)
+        sd["transformer.tgt_embed.weight"] = np.zeros((900, 256), np.float32)
+        mlp(sd, "transformer.decoder.ref_point_head", (256, 256), 512)
+        mlp(sd, "transformer.decoder.bbox_embed.0", (256, 256, 4), 256)
+        norm(sd, "transformer.decoder.norm", 256)
+        for i in range(6):
+            d = f"transformer.decoder.layers.{i}."
+            mha(sd, d + "self_attn", 256)
+            mha(sd, d + "ca_text", 256)
+            deform(sd, d + "cross_attn")
+            norm(sd, d + "norm1"); norm(sd, d + "norm2"); norm(sd, d + "norm3")
+            norm(sd, d + "catext_norm", 256)
+            lin(sd, d + "linear1", 2048, 256)
+            lin(sd, d + "linear2", 256, 2048)
+
+        converted = convert_torch_checkpoint(sd)
+
+        model = GroundingDINO(dtype=jnp.float32)
+        tokens = jnp.zeros((1, MAX_TEXT), jnp.int32)
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 112, 112, 3)), tokens, tokens > 0)["params"]
+
+        def paths(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}/{k}"
+                if isinstance(v, dict):
+                    out.update(paths(v, p))
+                else:
+                    out[p] = tuple(v.shape)
+            return out
+
+        got, want = paths(converted), paths(shapes)
+        assert set(got) == set(want), (
+            f"extra: {sorted(set(got) - set(want))[:8]}; "
+            f"missing: {sorted(set(want) - set(got))[:8]}")
+        bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        assert not bad, f"shape mismatches: {dict(list(bad.items())[:8])}"
+
+
 class TestSamConverter:
     def test_tree_structure_matches_model(self):
         """Converter output key paths must be a subtree of the model's

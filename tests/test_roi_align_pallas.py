@@ -72,3 +72,27 @@ class TestTrainablePallasROIAlign:
         for a, b in zip(g_pallas, g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4, rtol=1e-3)
+
+    def test_pallas_bwd_matches_scatter_batched(self, monkeypatch):
+        """Pallas RMW backward vs the XLA scatter plan: B=3 images, many
+        heavily overlapping RoIs (stresses sequential accumulation and the
+        per-image row-offset fold)."""
+        rng = np.random.default_rng(7)
+        strides = (4, 8, 16, 32, 64)
+        shapes = tuple((3, 96 // s, 96 // s, 8) for s in strides)
+        feats = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+        xy = rng.uniform(4, 40, (3, 24, 2))
+        wh = rng.uniform(8, 50, (3, 24, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(3, 24, 7, 7, 8)).astype(np.float32))
+
+        from weakcube_tpu.ops import roi_align_pallas as rap
+        orig = rap.pl.pallas_call
+        monkeypatch.setattr(rap.pl, "pallas_call",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+        res = (boxes, feats)
+        got, _ = rap._ra_bwd_pallas(strides, 7, 2, 2, res, g)
+        want, _ = rap._ra_bwd_scatter(strides, 7, 2, 2, res, g)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)

@@ -19,8 +19,10 @@ logger = logging.getLogger("weakcube_tpu.eval")
 def detections_to_records(det, batch, detections_per_image: int):
     """Device Detections -> per-image numpy eval records (rescaled to the
     original resolution, like GeneralizedRCNN._postprocess)."""
+    import jax
     from weakcube_tpu.ops import cuboids as cub
     out = []
+    det = jax.device_get(det)   # ONE host transfer for every field
     boxes = np.asarray(det.boxes)
     scores = np.asarray(det.scores)
     classes = np.asarray(det.classes)
@@ -40,12 +42,9 @@ def detections_to_records(det, batch, detections_per_image: int):
             "classes": classes[b][m],
         }
         if centers is not None:
-            import jax.numpy as jnp
             box3d = np.concatenate([centers[b][m], dims[b][m]], -1)
-            corners = np.asarray(cub.get_cuboid_verts_3d(
-                jnp.asarray(box3d), jnp.asarray(poses[b][m])))
             rec["centers3D"] = centers[b][m]
-            rec["corners3D"] = corners
+            rec["corners3D"] = cub.get_cuboid_verts_3d_np(box3d, poses[b][m])
         out.append(rec)
     return out
 

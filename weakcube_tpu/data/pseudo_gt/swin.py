@@ -88,27 +88,32 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Official detection-Swin order (mmdet/GroundingDINO trunk): pad the
+        # map up to a window-7 multiple FIRST, then cyclic-shift, attend,
+        # un-shift, crop. The window never shrinks, so the relative-bias
+        # table shape is input-size independent (checkpoint compatible).
         B, H, W, C = x.shape
-        w = min(self.window, H, W)
-        shift = self.shift if w < min(H, W) or self.shift < w else 0
+        w = self.window
+        shift = self.shift
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if shift:
-            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-        # pad to window multiple
         ph = (w - H % w) % w
         pw = (w - W % w) % w
         hp = jnp.pad(h, ((0, 0), (0, ph), (0, pw), (0, 0)))
         Hp, Wp = H + ph, W + pw
+        if shift:
+            hp = jnp.roll(hp, (-shift, -shift), axis=(1, 2))
         win = window_partition(hp, w)
         mask = _shift_mask(Hp, Wp, w, shift) if shift else None
         win = WindowMSA(self.dim, self.heads, w, self.dtype, name="attn")(win, mask)
-        h = window_reverse(win, w, Hp, Wp)[:, :H, :W]
+        h = window_reverse(win, w, Hp, Wp)
         if shift:
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
-        x = x + h
+        x = x + h[:, :H, :W]
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(4 * C, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(nn.gelu(h))
+        # exact (erf) gelu matches the official timm Swin
+        h = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(
+            nn.gelu(h, approximate=False))
         return x + h
 
 

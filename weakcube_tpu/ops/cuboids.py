@@ -92,6 +92,20 @@ def get_cuboid_verts_3d(box3d: jnp.ndarray, R: Optional[jnp.ndarray] = None) -> 
     return local + ctr[..., None, :]
 
 
+def get_cuboid_verts_3d_np(box3d, R=None) -> "np.ndarray":
+    """Host-numpy twin of get_cuboid_verts_3d for eval/vis record building
+    (avoids a device roundtrip per image on remote-TPU hosts)."""
+    import numpy as np
+    box3d = np.asarray(box3d, np.float32)
+    ctr = box3d[..., 0:3]
+    half = 0.5 * np.stack([box3d[..., 5], box3d[..., 4], box3d[..., 3]], -1)
+    local = np.asarray(_CORNER_SIGNS) * half[..., None, :]
+    if R is not None:
+        local = np.einsum("...ij,...kj->...ki",
+                          np.asarray(R, np.float32), local)
+    return local + ctr[..., None, :]
+
+
 def project_points(K: jnp.ndarray, pts3d: jnp.ndarray,
                    min_z: float = 1e-6) -> jnp.ndarray:
     """Project camera-space points [..., N, 3] with K [..., 3, 3].

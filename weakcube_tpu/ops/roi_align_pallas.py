@@ -22,9 +22,12 @@ Callers with larger inputs use the XLA path.
 
 Window tiles are staged in bf16 (halves the dominant DMA cost; matmuls
 accumulate fp32 on the MXU). Training uses `roi_align_pallas_trainable`
-below: this kernel as the forward plus a linear scatter-add backward
-(custom_vjp) — ROIAlign is linear in the features, so gradients depend only
-on the bilinear sampling plan.
+below: this kernel as the forward plus a Pallas transpose backward
+(custom_vjp) that read-modify-writes per-RoI window gradients into a
+stacked HBM buffer — race-free because TPU grid steps run sequentially on
+a core. ROIAlign is linear in the features, so gradients depend only on
+the bilinear sampling plan (reference: cube-rcnn ROIAlignV2 / detectron2
+poolers; see ops/roi_align.py for citations).
 """
 from __future__ import annotations
 
@@ -44,6 +47,19 @@ WINDOW = 32
 # origin is snapped down to a multiple of 8 and the residual folded into the
 # sub-pixel sample offset, so the row window carries 8 rows of slack.
 WINDOW_Y = WINDOW + 8
+
+
+def _bilinear_weight_rows(start, step, win, P: int, sampling_ratio: int):
+    """(P, win) bilinear weight rows with the per-bin sample averaging
+    folded in (Mosaic-friendly: int iota + hat function, no slicing)."""
+    bins = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
+    S = sampling_ratio
+    acc = 0.0
+    for s in range(S):
+        c = jnp.clip(start + (S * bins + s) * step, 0.0, win - 1.0)
+        acc = acc + jnp.maximum(1.0 - jnp.abs(grid - c), 0.0)
+    return acc / S
 
 
 def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
@@ -68,20 +84,9 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
     sdy = frac_ref[r, 2]
     sdx = frac_ref[r, 3]
 
-    def weights(start, step, win):
-        # (P, win) bilinear weight rows with the per-bin sample averaging
-        # folded in (Mosaic-friendly: int iota + hat function, no slicing)
-        bins = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
-        grid = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
-        S = sampling_ratio
-        acc = 0.0
-        for s in range(S):
-            c = jnp.clip(start + (S * bins + s) * step, 0.0, win - 1.0)
-            acc = acc + jnp.maximum(1.0 - jnp.abs(grid - c), 0.0)
-        return acc / S
-
-    Wy = weights(sy0, sdy, WINDOW_Y).astype(jnp.bfloat16)  # (P, WINDOW_Y)
-    Wx = weights(sx0, sdx, WINDOW)                     # (P, WINDOW)
+    Wy = _bilinear_weight_rows(sy0, sdy, WINDOW_Y, P,
+                               sampling_ratio).astype(jnp.bfloat16)
+    Wx = _bilinear_weight_rows(sx0, sdx, WINDOW, P, sampling_ratio)
 
     # contract y: (P, WINDOW_Y) @ (WINDOW_Y, WINDOW*C) -> (P, WINDOW, C)
     a = jax.lax.dot_general(Wy, tile[...],
@@ -95,43 +100,28 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
     out_ref[...] = jnp.swapaxes(b, 0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "strides",
-                                             "min_level", "sampling_ratio"))
-def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-                            strides=(4, 8, 16, 32, 64), output_size: int = 7,
-                            min_level: int = 2,
-                            sampling_ratio: int = 2) -> jnp.ndarray:
-    """Single-image Pallas ROIAlign: features [(H_l, W_l, C)], boxes (R, 4)
-    -> (R, 7, 7, C)."""
-    R = boxes.shape[0]
-    C = features[0].shape[-1]
-    L = len(features)
+def _stack_dims(feat_hw):
+    """Stacked-buffer geometry shared by the forward and backward kernels:
+    per-level padded heights (>= WINDOW_Y, multiple of 8 so snapped row
+    starts stay tile-aligned), their row offsets, padded width, total rows."""
+    heights_padded = [max(WINDOW_Y, -(-h // 8) * 8) for h, _ in feat_hw]
+    row_offsets = list(np.cumsum([0] + heights_padded[:-1]))
+    maxW = max(max(w for _, w in feat_hw), WINDOW)
+    return heights_padded, row_offsets, maxW, sum(heights_padded)
+
+
+def _window_meta(boxes, feat_hw, heights_padded, row_offsets, maxW, C,
+                 strides, output_size, min_level, sampling_ratio):
+    """Per-RoI window plan for one image: meta (R, 4) int32 [stacked row
+    origin, x0*C, 0, 0] and frac (R, 4) f32 [sy0, sx0, sdy, sdx]."""
+    L = len(feat_hw)
     max_level = min_level + L - 1
-    maxW = max(max(f.shape[1] for f in features), WINDOW)
-
-    # stack levels along rows; pad width to maxW and height to >= WINDOW_Y,
-    # keeping every level height a multiple of 8 so the snapped row starts
-    # stay tile-aligned in the stacked buffer
-    rows = []
-    row_offsets = []
-    heights_padded = []
-    off = 0
-    for f in features:
-        H, W = f.shape[:2]
-        Hp = max(WINDOW_Y, -(-H // 8) * 8)
-        f = jnp.pad(f, ((0, Hp - H), (0, maxW - W), (0, 0)))
-        rows.append(f.reshape(Hp, maxW * C).astype(jnp.bfloat16))
-        row_offsets.append(off)
-        heights_padded.append(Hp)
-        off += Hp
-    stacked = jnp.concatenate(rows, axis=0)            # (sumH, maxW*C)
-    row_offsets = jnp.asarray(row_offsets, jnp.int32)
-
     levels = assign_fpn_levels(boxes, min_level, max_level) - min_level
     inv_strides = jnp.asarray([1.0 / s for s in strides], jnp.float32)
     scale = inv_strides[levels]
     hs = jnp.asarray(heights_padded, jnp.int32)[levels]
-    ws = jnp.asarray([f.shape[1] for f in features], jnp.int32)[levels]
+    ws = jnp.asarray([w for _, w in feat_hw], jnp.int32)[levels]
+    row_off = jnp.asarray(row_offsets, jnp.int32)[levels]
 
     x1 = boxes[:, 0] * scale - 0.5
     y1 = boxes[:, 1] * scale - 0.5
@@ -155,15 +145,42 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     x0 = jnp.clip(jnp.floor(sx_start).astype(jnp.int32),
                   0, jnp.maximum(jnp.minimum(ws, maxW) - WINDOW, 0))
 
-    meta = jnp.stack([row_offsets[levels] + y0, x0 * C,
+    meta = jnp.stack([row_off + y0, x0 * C,
                       jnp.zeros_like(y0), jnp.zeros_like(y0)], -1).astype(jnp.int32)
     frac = jnp.stack([sy_start - y0.astype(jnp.float32),
                       sx_start - x0.astype(jnp.float32), sdy, sdx], -1)
+    return meta, frac
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "strides",
+                                             "min_level", "sampling_ratio"))
+def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                            strides=(4, 8, 16, 32, 64), output_size: int = 7,
+                            min_level: int = 2,
+                            sampling_ratio: int = 2) -> jnp.ndarray:
+    """Single-image Pallas ROIAlign: features [(H_l, W_l, C)], boxes (R, 4)
+    -> (R, 7, 7, C)."""
+    R = boxes.shape[0]
+    C = features[0].shape[-1]
+    feat_hw = [f.shape[:2] for f in features]
+    heights_padded, row_offsets, maxW, _ = _stack_dims(feat_hw)
+
+    # stack levels along rows, padded to (Hp_l, maxW)
+    rows = []
+    for f, Hp in zip(features, heights_padded):
+        H, W = f.shape[:2]
+        f = jnp.pad(f, ((0, Hp - H), (0, maxW - W), (0, 0)))
+        rows.append(f.reshape(Hp, maxW * C).astype(jnp.bfloat16))
+    stacked = jnp.concatenate(rows, axis=0)            # (sumH, maxW*C)
+
+    meta, frac = _window_meta(boxes, feat_hw, heights_padded, row_offsets,
+                              maxW, C, strides, output_size, min_level,
+                              sampling_ratio)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, output_size, output_size, C),
                                lambda r, *_: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -197,13 +214,117 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
 
 
 # ---------------------------------------------------------------------------
-# trainable wrapper: Pallas forward + linear scatter backward
+# trainable wrapper: Pallas forward + Pallas transpose backward
 # ---------------------------------------------------------------------------
 # ROIAlign is LINEAR in the features, so the backward pass needs only the
-# bilinear index/weight plan, not the feature values: grad_features is a
-# scatter-add of (upstream grad x bilinear weight) at the same sample
-# positions the forward read. The forward runs the fast Pallas kernel; the
-# backward reuses the XLA formulation's sampling plan.
+# bilinear weight plan, not the feature values. The backward kernel is the
+# exact transpose of the forward: one program per RoI computes its
+# (WINDOW_Y, WINDOW, C) window gradient with two small MXU matmuls
+# (gtile[y,x,c] = sum_ij Wy[i,y] Wx[j,x] g[i,j,c]) and accumulates it into a
+# stacked HBM gradient buffer by read-modify-write DMA. TPU grid steps run
+# SEQUENTIALLY on a core, so the RMW is race-free without atomics — the
+# property XLA's scatter-add must pay sorting/serialisation for. The XLA
+# sampling-plan scatter is kept below as a fallback/reference
+# (WEAKCUBE_SCATTER_BWD=1).
+
+
+def _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
+                          tile, sem, sampling_ratio: int = 2):
+    """One program per (image, RoI): transpose of _roi_align_kernel.
+
+    meta_ref/frac_ref: (1, 1, 4) SMEM blocks (streamed per step — the train
+    path pools up to B*16k RoIs, far beyond the scalar-prefetch SMEM
+    budget; the unit middle axis satisfies Mosaic's last-two-dims block
+    rule). g_ref block: (1, P, P, C) upstream grad in VMEM. acc_ref: the
+    stacked (B*sumH, maxW*C) fp32 gradient buffer in HBM (aliased to the
+    zeros input; zeros_ref is the alias twin and is not read)."""
+    del zeros_ref
+    P = g_ref.shape[1]
+    C = g_ref.shape[-1]
+    row0 = pl.multiple_of(meta_ref[0, 0, 0], 8)
+    col0 = meta_ref[0, 0, 1]
+    if C % 128 == 0:
+        col0 = pl.multiple_of(col0, 128)
+
+    window = acc_ref.at[pl.ds(row0, WINDOW_Y), pl.ds(col0, WINDOW * C)]
+    cp_in = pltpu.make_async_copy(window, tile, sem)
+    cp_in.start()
+
+    sy0 = frac_ref[0, 0, 0]
+    sx0 = frac_ref[0, 0, 1]
+    sdy = frac_ref[0, 0, 2]
+    sdx = frac_ref[0, 0, 3]
+    # fp32 weights: the backward is the gradient of the idealised (fp32) op;
+    # the forward's bf16 tile staging is treated as rounding noise
+    Wy = _bilinear_weight_rows(sy0, sdy, WINDOW_Y, P, sampling_ratio)
+    Wx = _bilinear_weight_rows(sx0, sdx, WINDOW, P, sampling_ratio)
+
+    g = g_ref[0].astype(jnp.float32)                       # (P, P, C)
+    # contract i: (P, WINDOW_Y)^T x (P, P, C) -> (WINDOW_Y, P, C)
+    h = jax.lax.dot_general(Wy, g, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    # contract j per y-row (batched so the output lands (y, x, c)-major):
+    # (Y, P, WINDOW) x (Y, P, C) -> (Y, WINDOW, C)
+    Wx_b = jnp.broadcast_to(Wx[None], (WINDOW_Y, P, WINDOW))
+    gt = jax.lax.dot_general(Wx_b, h, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+
+    cp_in.wait()
+    tile[...] += gt.reshape(WINDOW_Y, WINDOW * C)
+    cp_out = pltpu.make_async_copy(tile, window, sem)
+    cp_out.start()
+    cp_out.wait()
+
+
+def _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level, res, g):
+    boxes, features_tuple = res
+    shapes = tuple(f.shape for f in features_tuple)
+    dtypes = tuple(f.dtype for f in features_tuple)
+    B, R = boxes.shape[:2]
+    C = shapes[0][-1]
+    P = output_size
+    feat_hw = [(s[1], s[2]) for s in shapes]
+    heights_padded, row_offsets, maxW, sumH = _stack_dims(feat_hw)
+
+    meta, frac = jax.vmap(lambda bx: _window_meta(
+        bx, feat_hw, heights_padded, row_offsets, maxW, C, strides,
+        output_size, min_level, sampling_ratio))(boxes)    # (B, R, 4)
+    # fold the batch into the stacked row origin -> one flat sequential grid
+    meta = meta.at[..., 0].add(
+        (jnp.arange(B, dtype=jnp.int32) * sumH)[:, None])
+    meta = meta.reshape(B * R, 1, 4)
+    frac = frac.reshape(B * R, 1, 4)
+    g_flat = g.reshape(B * R, P, P, C).astype(jnp.float32)
+
+    def kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref, tile, sem):
+        _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
+                              tile, sem, sampling_ratio)
+
+    zeros = jnp.zeros((B * sumH, maxW * C), jnp.float32)
+    buf = pl.pallas_call(
+        kernel,
+        grid=(B * R,),
+        in_specs=[pl.BlockSpec((1, 1, 4), lambda r: (r, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1, 4), lambda r: (r, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, P, P, C), lambda r: (r, 0, 0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        out_shape=jax.ShapeDtypeStruct((B * sumH, maxW * C), jnp.float32),
+        # operand index over inputs: (meta, frac, g, zeros)
+        input_output_aliases={3: 0},
+    )(meta, frac, g_flat, zeros)
+
+    buf = buf.reshape(B, sumH, maxW, C)
+    grads = []
+    off = 0
+    for (h, w), Hp, dt in zip(feat_hw, heights_padded, dtypes):
+        grads.append(buf[:, off:off + h, :w].astype(dt))
+        off += Hp
+    return tuple(grads), None
 
 def _sample_plan(boxes, feat_hw, strides, output_size, sampling_ratio, min_level):
     """Bilinear sampling plan for one image: flat indices + weights for the
@@ -280,7 +401,7 @@ def _ra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
     return out, (boxes, features_tuple)
 
 
-def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
+def _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level, res, g):
     boxes, features_tuple = res
     shapes = tuple(f.shape for f in features_tuple)
     dtypes = tuple(f.dtype for f in features_tuple)
@@ -311,6 +432,15 @@ def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
                      .astype(dt))
         off += h * w
     return tuple(grads), None
+
+
+def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
+    import os
+    if os.environ.get("WEAKCUBE_SCATTER_BWD"):
+        return _ra_bwd_scatter(strides, output_size, sampling_ratio,
+                               min_level, res, g)
+    return _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level,
+                          res, g)
 
 
 roi_align_pallas_trainable.defvjp(_ra_fwd, _ra_bwd)
