@@ -22,12 +22,15 @@ Callers with larger inputs use the XLA path.
 
 Window tiles are staged in bf16 (halves the dominant DMA cost; matmuls
 accumulate fp32 on the MXU). Training uses `roi_align_pallas_trainable`
-below: this kernel as the forward plus a Pallas transpose backward
-(custom_vjp) that read-modify-writes per-RoI window gradients into a
-stacked HBM buffer — race-free because TPU grid steps run sequentially on
-a core. ROIAlign is linear in the features, so gradients depend only on
-the bilinear sampling plan (reference: cube-rcnn ROIAlignV2 / detectron2
-poolers; see ops/roi_align.py for citations).
+below: this kernel as the forward plus a linear backward (custom_vjp).
+ROIAlign is linear in the features, so gradients depend only on the
+bilinear sampling plan. Two backward plans exist: the default XLA
+scatter-add of the sampling plan, and a Pallas transpose kernel
+(WEAKCUBE_PALLAS_BWD=1) that read-modify-writes per-RoI window gradients
+into a stacked HBM buffer — race-free because TPU grid steps run
+sequentially on a core, but measurably slower at recipe scale (see
+_ra_bwd). (Reference: cube-rcnn ROIAlignV2 / detectron2 poolers; see
+ops/roi_align.py for citations.)
 """
 from __future__ import annotations
 
@@ -214,18 +217,19 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
 
 
 # ---------------------------------------------------------------------------
-# trainable wrapper: Pallas forward + Pallas transpose backward
+# trainable wrapper: Pallas forward + linear backward
 # ---------------------------------------------------------------------------
 # ROIAlign is LINEAR in the features, so the backward pass needs only the
-# bilinear weight plan, not the feature values. The backward kernel is the
-# exact transpose of the forward: one program per RoI computes its
-# (WINDOW_Y, WINDOW, C) window gradient with two small MXU matmuls
+# bilinear weight plan, not the feature values. Default backward: XLA
+# scatter-add of the sampling plan (_ra_bwd_scatter). Alternative
+# (WEAKCUBE_PALLAS_BWD=1): a Pallas kernel that is the exact transpose of
+# the forward — one program per RoI computes its (WINDOW_Y, WINDOW, C)
+# window gradient with two small MXU matmuls
 # (gtile[y,x,c] = sum_ij Wy[i,y] Wx[j,x] g[i,j,c]) and accumulates it into a
 # stacked HBM gradient buffer by read-modify-write DMA. TPU grid steps run
-# SEQUENTIALLY on a core, so the RMW is race-free without atomics — the
-# property XLA's scatter-add must pay sorting/serialisation for. The XLA
-# sampling-plan scatter is kept below as a fallback/reference
-# (WEAKCUBE_SCATTER_BWD=1).
+# SEQUENTIALLY on a core, so the RMW is race-free without atomics, but the
+# serialized window DMAs lose to XLA's sorted scatter at recipe scale
+# (589 vs 630 ms/step) — see _ra_bwd.
 
 
 def _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
@@ -435,12 +439,18 @@ def _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level, res, g):
 
 
 def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
+    # Measured on v5e at recipe scale (b25@512px, SR1): XLA scatter 589 ms/
+    # step vs Pallas RMW 630 ms — the per-RoI serialized window read-modify-
+    # write (correctness requires it: RoI windows overlap, so grid step N+1
+    # may not read before step N's write lands) costs more than XLA's sorted
+    # scatter-add. Scatter is the default; the Pallas path stays available
+    # for shapes where it may win (few, disjoint RoIs).
     import os
-    if os.environ.get("WEAKCUBE_SCATTER_BWD"):
-        return _ra_bwd_scatter(strides, output_size, sampling_ratio,
-                               min_level, res, g)
-    return _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level,
-                          res, g)
+    if os.environ.get("WEAKCUBE_PALLAS_BWD"):
+        return _ra_bwd_pallas(strides, output_size, sampling_ratio,
+                              min_level, res, g)
+    return _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level,
+                           res, g)
 
 
 roi_align_pallas_trainable.defvjp(_ra_fwd, _ra_bwd)
