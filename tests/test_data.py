@@ -218,3 +218,76 @@ class TestMultiScale:
             assert out["image"].shape == (128, 128, 3)  # static canvas
             sizes.add(int(h))
         assert len(sizes) > 1  # jitter actually varies the content scale
+
+
+class TestAspectBuckets:
+    """cfg.TPU.ASPECT_BUCKETS: static canvas set with per-bucket batch
+    grouping (reference d2 AspectRatioGroupedDataset, data/build.py:76-155)."""
+
+    def _cfg(self):
+        cfg = smoke_cfg()
+        cfg.TPU.ASPECT_BUCKETS = [[128, 128], [120, 160]]
+        return cfg
+
+    def test_landscape_picks_wide_bucket(self):
+        m = DatasetMapper3D(self._cfg().freeze(), is_train=False)
+        rec = synthetic.make_dataset(1, seed=11)[0]          # 640 x 480
+        out = m(rec)
+        # wide bucket: fit 0.25 (160x120 content) vs square fit 0.2
+        assert out["image"].shape == (120, 160, 3)
+        assert tuple(out["image_wh"]) == (160.0, 120.0)
+        assert out["bucket"] == (120, 160)
+
+    def test_portrait_picks_square_bucket(self):
+        m = DatasetMapper3D(self._cfg().freeze(), is_train=False)
+        rec = dict(synthetic.make_dataset(1, seed=12)[0])
+        rec["width"], rec["height"] = 480, 640
+        out = m(rec, image=np.zeros((640, 480, 3), np.uint8))
+        # square fit 0.2 (96x128) beats wide fit 0.1875
+        assert out["image"].shape == (128, 128, 3)
+        assert out["bucket"] == (128, 128)
+
+    def test_train_batches_homogeneous(self):
+        from weakcube_tpu.data.build import build_train_batches
+        cfg = self._cfg()
+        cfg.SOLVER.IMS_PER_BATCH = 4
+        cfg.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+        cfg.freeze()
+        land = synthetic.make_dataset(4, seed=13)
+        port = []
+        for r in synthetic.make_dataset(4, seed=14):
+            r = dict(r)
+            r["width"], r["height"] = 480, 640
+            port.append(r)
+        records = land + port
+        loaders = {"image": lambda r: np.zeros((r["height"], r["width"], 3),
+                                               np.uint8)}
+        shapes = set()
+        it = build_train_batches(cfg, records, loaders=loaders, seed=3)
+        for _ in range(6):
+            batch = next(it)
+            shapes.add(tuple(batch["image"].shape))
+        assert shapes <= {(4, 120, 160, 3), (4, 128, 128, 3)}
+        assert len(shapes) == 2  # both buckets actually emitted
+
+    def test_test_batches_cover_all_images_once(self):
+        from weakcube_tpu.data.build import build_test_batches
+        cfg = self._cfg().freeze()
+        land = synthetic.make_dataset(5, seed=15)
+        port = []
+        for j, r in enumerate(synthetic.make_dataset(3, seed=16)):
+            r = dict(r)
+            r["width"], r["height"] = 480, 640
+            r["image_id"] = 1000 + j
+            port.append(r)
+        records = land + port
+        loaders = {"image": lambda r: np.zeros((r["height"], r["width"], 3),
+                                               np.uint8)}
+        seen = []
+        for batch in build_test_batches(cfg, records, batch_size=4,
+                                        loaders=loaders):
+            B, H, W, _ = batch["image"].shape
+            assert B == 4 and (H, W) in {(120, 160), (128, 128)}
+            seen.extend(int(i) for i in batch["image_id"])
+        # every image appears; padding repeats only the bucket tail
+        assert set(seen) == {r["image_id"] for r in records}

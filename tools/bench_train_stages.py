@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Decompose the recipe-scale train step (Omni_combined, b25@512px) into
+coarse stages by timing graph variants on the real TPU:
+
+  full            forward + backward + optimizer (the production step)
+  fwd_only        loss forward alone (no grad)
+  fwd_bwd         forward + backward, no optimizer -> optax cost by diff
+  loss_iou_only   weak losses reduced to ["iou"]
+  loss_iou_*      iou + one recipe loss each -> per-loss cost
+(pass 1 extra: g1 = one GT/image showed labeling cost ~ 0)
+
+Each variant is a separate jit (remote compiles are serial; expect ~5-15
+min each on axon). Prints one JSON line per variant.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, iters=8):
+    out = fn(*args)
+    _ = jax_block(out)
+    per = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = jax_block(out)
+        per.append(time.perf_counter() - t0)
+    return float(np.median(per))
+
+
+def jax_block(tree):
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree)
+    # fetch ONE scalar-ish leaf to host (block_until_ready unreliable on axon)
+    for l in leaves:
+        if hasattr(l, "shape") and l.size == 1:
+            return float(l.reshape(()))
+    return np.asarray(leaves[0]).ravel()[0] if leaves else 0.0
+
+
+def build(cfg_overrides=None, G=16):
+    import jax
+    from __graft_entry__ import _tiny_batch
+    from weakcube_tpu.config import get_cfg
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel import make_mesh, shard_batch
+    from weakcube_tpu.solver import build_optimizer
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 25))
+    S = int(os.environ.get("BENCH_TRAIN_SIZE", 512))
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "Omni_combined.yaml"))
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 1
+    cfg.TPU.IMAGE_SIZE = S
+    if cfg_overrides:
+        for k, v in cfg_overrides.items():
+            node = cfg
+            *path, leaf = k.split(".")
+            for p in path:
+                node = getattr(node, p)
+            setattr(node, leaf, v)
+    cfg.freeze()
+
+    priors = {"priors_dims_per_cat": np.tile(
+        np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32),
+        (38, 1, 1))}
+    model = build_model(cfg, priors)
+    batch = _tiny_batch(B, S, S, G=G, with_depth=True)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, batch, train=True,
+                             rng=jax.random.fold_in(r, 1)))(rng)
+    from weakcube_tpu.parallel.train_step import TrainState
+    import jax.numpy as jnp
+    params = variables["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params), loss_ema=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool), skipped=jnp.zeros((), jnp.int32),
+        applied=jnp.zeros((), jnp.int32))
+    mesh = make_mesh([-1], ["data"])
+    state = jax.device_put(state)
+    batch = shard_batch(batch, mesh)
+    return model, tx, state, batch, rng
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from weakcube_tpu.parallel import make_train_step
+
+    results = {}
+    model, tx, state, batch, rng = build()
+    r2 = jax.random.fold_in(rng, 2)
+
+    def stepper(step_fn, state0, batch0):
+        # the train step donates its state argument: thread it through
+        cell = {"s": state0}
+
+        def one():
+            cell["s"], logs = step_fn(cell["s"], batch0, r2)
+            return logs["total_loss"]
+        return one
+
+    # forward only (before the full step: that one donates the state)
+    params, batch_stats = state.params, state.batch_stats
+
+    def fwd(p):
+        (losses, _m), _ = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            batch, train=True, rng=r2, mutable=["batch_stats"])
+        return jnp.sum(jnp.stack(list(losses.values())))
+    f = jax.jit(fwd)
+    t0 = time.perf_counter()
+    results["fwd_only"] = timed(lambda: f(params))
+    print(f"# fwd_only compiled+timed in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    # forward + backward, no optimizer (consume the grads via a global-norm
+    # scalar or XLA dead-code-eliminates the whole backward)
+    def loss_and_gnorm(p):
+        val, grads = jax.value_and_grad(fwd)(p)
+        return val + 0.0 * optax.global_norm(grads)
+    g = jax.jit(loss_and_gnorm)
+    t0 = time.perf_counter()
+    results["fwd_bwd"] = timed(lambda: g(params))
+    print(f"# fwd_bwd compiled+timed in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    # full production step (donates state — run last on this state)
+    step = make_train_step(model, tx)
+    t0 = time.perf_counter()
+    results["full"] = timed(stepper(step, state, batch))
+    print(f"# full compiled+timed in {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    # loss ablations: recipe = iou + z_pseudo_gt_center + pose_alignment +
+    # pose_ground; add each to the iou base to price it individually
+    for tag, fns in (
+            ("loss_iou_only", ["iou"]),
+            ("loss_iou_zc", ["iou", "z_pseudo_gt_center"]),
+            ("loss_iou_posealign", ["iou", "pose_alignment"]),
+            ("loss_iou_poseground", ["iou", "pose_ground"]),
+    ):
+        if os.environ.get("BENCH_STAGES_SKIP_ABLATIONS"):
+            break
+        m2, t2, s2, b2, _ = build({"loss_functions": fns})
+        st2 = make_train_step(m2, t2)
+        t0 = time.perf_counter()
+        results[tag] = timed(stepper(st2, s2, b2))
+        print(f"# {tag} compiled+timed in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    for k, v in results.items():
+        print(json.dumps({"metric": f"train_stage_{k}", "value": round(v * 1e3, 1),
+                          "unit": "ms/step"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,9 +50,10 @@ def detections_to_records(det, batch, detections_per_image: int):
 
 
 def gt_records_from_raw(records):
-    """Dataset records -> evaluator GT records (original resolution)."""
+    """Dataset records -> evaluator GT records (original resolution).
+    Pure numpy: one device call per record would be a tunnel roundtrip
+    each on remote-TPU hosts."""
     from weakcube_tpu.ops import cuboids as cub
-    import jax.numpy as jnp
     out = []
     for r in records:
         annos = [a for a in r.get("annotations", [])]
@@ -62,8 +63,8 @@ def gt_records_from_raw(records):
         centers = np.asarray([a["center_cam"] for a in annos], np.float32).reshape(-1, 3)
         dims = np.asarray([a["dimensions"] for a in annos], np.float32).reshape(-1, 3)
         poses = np.asarray([a["pose"] for a in annos], np.float32).reshape(-1, 3, 3)
-        corners = np.asarray(cub.get_cuboid_verts_3d(
-            jnp.asarray(np.concatenate([centers, dims], -1)), jnp.asarray(poses))) \
+        corners = cub.get_cuboid_verts_3d_np(
+            np.concatenate([centers, dims], -1), poses) \
             if len(annos) else np.zeros((0, 8, 3), np.float32)
         out.append({
             "image_id": r["image_id"], "boxes": boxes, "classes": classes,

@@ -60,8 +60,10 @@ def setup(args):
     # and the 32-unit window bound (images <= ~720 px)
     import jax
     if "USE_PALLAS_ROI_ALIGN" not in dict(cfg.TPU) or not cfg.TPU.USE_PALLAS_ROI_ALIGN:
+        max_side = max([cfg.TPU.IMAGE_SIZE]
+                       + [max(b) for b in (cfg.TPU.ASPECT_BUCKETS or [])])
         cfg.TPU.USE_PALLAS_ROI_ALIGN = (
-            jax.default_backend() == "tpu" and cfg.TPU.IMAGE_SIZE <= 720)
+            jax.default_backend() == "tpu" and max_side <= 720)
     cfg.freeze()
     np.random.seed(12 if cfg.SEED < 0 else cfg.SEED)  # reference uses SEED=12
     return cfg

@@ -234,6 +234,12 @@ def build_default_cfg() -> CfgNode:
     c.TPU.MAX_GT_PER_IMAGE = 64      # static padding caps
     c.TPU.MAX_ANCHORS_SAMPLE = 256
     c.TPU.IMAGE_SIZE = 512           # square padded train resolution
+    # optional aspect buckets: list of [H, W] static canvas shapes. Empty =
+    # one square IMAGE_SIZE canvas. With buckets, each image goes to the
+    # bucket that preserves the most content resolution (one compiled graph
+    # per distinct shape; batches are grouped per bucket like d2's
+    # AspectRatioGroupedDataset)
+    c.TPU.ASPECT_BUCKETS = []
     c.TPU.COMPUTE_DTYPE = "bfloat16"
     c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
     return c

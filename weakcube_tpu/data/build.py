@@ -86,34 +86,57 @@ def build_train_batches(cfg, records: Sequence[Dict],
     else:
         probs = np.full(len(records), 1.0 / len(records))
 
+    # per-bucket accumulation (d2 AspectRatioGroupedDataset semantics,
+    # reference data/build.py:76-155): a batch is emitted when one canvas
+    # bucket fills, so every batch is shape-homogeneous (one compiled graph
+    # per bucket). With a single bucket this degenerates to plain batching.
+    pools: Dict[tuple, List[Dict]] = {}
     while True:
         idx = rng.choice(len(records), size=bs, p=probs)
-        examples = []
         for i in idx:
             r = records[i]
-            examples.append(mapper(
+            ex = mapper(
                 r, rng,
                 image=loaders.get("image", _default_image)(r),
                 depth_map=loaders["depth"](r) if "depth" in loaders else None,
-                ground_map=loaders["ground"](r) if "ground" in loaders else None))
-        yield pad_batch(examples)
+                ground_map=loaders["ground"](r) if "ground" in loaders else None)
+            pool = pools.setdefault(ex["bucket"], [])
+            pool.append(ex)
+            if len(pool) == bs:
+                yield pad_batch(pool)
+                pools[ex["bucket"]] = []
 
 
 def build_test_batches(cfg, records: Sequence[Dict],
                        batch_size: int = 8,
                        loaders: Optional[Dict] = None) -> Iterator[Dict]:
-    """Finite iterator over the dataset (last batch padded by repetition;
-    consumers dedupe by image_id)."""
+    """Finite iterator over the dataset (last batch per bucket padded by
+    repetition; consumers dedupe by image_id). With aspect buckets, records
+    are grouped by canvas shape first so each batch is shape-homogeneous."""
     mapper = DatasetMapper3D(cfg, is_train=False)
     loaders = loaders or {}
-    n = len(records)
-    for start in range(0, n, batch_size):
-        chunk = [records[min(i, n - 1)] for i in range(start, start + batch_size)]
-        examples = [mapper(r, image=loaders.get("image", _default_image)(r),
-                           depth_map=loaders["depth"](r) if "depth" in loaders else None,
-                           ground_map=loaders["ground"](r) if "ground" in loaders else None)
-                    for r in chunk]
-        yield pad_batch(examples)
+
+    def mapped(r):
+        return mapper(r, image=loaders.get("image", _default_image)(r),
+                      depth_map=loaders["depth"](r) if "depth" in loaders else None,
+                      ground_map=loaders["ground"](r) if "ground" in loaders else None)
+
+    pools: Dict[tuple, List[Dict]] = {}
+    order: List[tuple] = []
+    for r in records:
+        ex = mapped(r)
+        pool = pools.setdefault(ex["bucket"], [])
+        if ex["bucket"] not in order:
+            order.append(ex["bucket"])
+        pool.append(ex)
+        if len(pool) == batch_size:
+            yield pad_batch(pool)
+            pools[ex["bucket"]] = []
+    for b in order:
+        tail = pools.get(b) or []
+        if tail:
+            tail = tail + [tail[-1]] * (batch_size - len(tail))
+            yield pad_batch(tail)
 
 
 def _default_image(record: Dict) -> np.ndarray:

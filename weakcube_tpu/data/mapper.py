@@ -8,11 +8,15 @@ Mirrors cubercnn/data/dataset_mapper.py:
     (dataset_mapper.py:250-272);
   * NEAREST-resized depth/ground maps (dataset_mapper.py:124-147).
 
-TPU-first deviation: instead of d2's aspect-bucketed variable shapes, every
-image is scaled to fit a SQUARE static canvas (cfg.TPU.IMAGE_SIZE) and
-bottom/right zero-padded; the true content size travels as `image_wh` and
-intrinsics are pre-scaled to network resolution. All outputs are numpy
-(host-side); batching/stacking happens in build.py.
+TPU-first deviation: instead of d2's fully-variable shapes, every image is
+scaled to fit a STATIC canvas and bottom/right zero-padded; the true
+content size travels as `image_wh` and intrinsics are pre-scaled to
+network resolution. The canvas is either one square (cfg.TPU.IMAGE_SIZE)
+or, with cfg.TPU.ASPECT_BUCKETS set, the bucket shape that preserves the
+most content resolution for the image's aspect (one compiled graph per
+bucket — the XLA-native version of d2's AspectRatioGroupedDataset,
+reference data/build.py:76-155). All outputs are numpy (host-side);
+batching/stacking (grouped per bucket) happens in build.py.
 """
 from __future__ import annotations
 
@@ -46,6 +50,9 @@ class DatasetMapper3D:
     def __init__(self, cfg, is_train: bool = True, max_gt: Optional[int] = None):
         self.is_train = is_train
         self.image_size = cfg.TPU.IMAGE_SIZE
+        buckets = list(getattr(cfg.TPU, "ASPECT_BUCKETS", []) or [])
+        self.buckets = [tuple(int(v) for v in b) for b in buckets] or \
+            [(self.image_size, self.image_size)]
         self.max_gt = max_gt or cfg.TPU.MAX_GT_PER_IMAGE
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
@@ -64,15 +71,21 @@ class DatasetMapper3D:
                  depth_map: Optional[np.ndarray] = None,
                  ground_map: Optional[np.ndarray] = None) -> Dict:
         rng = rng or np.random.default_rng(0)
-        S = self.image_size
         W0, H0 = record["width"], record["height"]
-        scale = S / max(W0, H0)
+        # bucket choice: the canvas whose fit-scale preserves the most
+        # content resolution (ties break toward the smaller canvas area)
+        fit = [min(bh / H0, bw / W0) for bh, bw in self.buckets]
+        bi = int(np.argmax([min(f, 1.0) - 1e-9 * (bh * bw)
+                            for f, (bh, bw) in zip(fit, self.buckets)]))
+        SH, SW = self.buckets[bi]
+        scale = fit[bi]
         if self.is_train and len(self.min_sizes) > 1:
             # scale jitter: target a random min-side, clamped into the canvas
             target_min = float(self.min_sizes[rng.integers(len(self.min_sizes))])
             jitter = (target_min / min(W0, H0))
             scale = min(jitter, scale)
         net_w, net_h = int(round(W0 * scale)), int(round(H0 * scale))
+        net_w, net_h = min(net_w, SW), min(net_h, SH)
 
         if image is None:
             from .datasets import read_image
@@ -82,7 +95,7 @@ class DatasetMapper3D:
         img = _resize_bilinear(image, (net_h, net_w)).astype(np.float32)
         # normalise with reference pixel stats, pad to the square canvas
         img = (img - self.pixel_mean) / self.pixel_std
-        canvas = np.zeros((S, S, 3), np.float32)
+        canvas = np.zeros((SH, SW, 3), np.float32)
         canvas[:net_h, :net_w] = img
 
         K = np.asarray(record["K"], np.float32).copy()
@@ -131,16 +144,17 @@ class DatasetMapper3D:
             "image_id": record.get("image_id", 0),
             "scale": scale,
             "flip": flip,
+            "bucket": (SH, SW),
         }
 
         if depth_map is not None:
             d = _resize_nearest(depth_map, (net_h, net_w)).astype(np.float32)
-            dm = np.zeros((S, S), np.float32)
+            dm = np.zeros((SH, SW), np.float32)
             dm[:net_h, :net_w] = d[:, ::-1] if flip else d
             out["depth_map"] = dm
         if ground_map is not None:
             g = _resize_nearest(ground_map.astype(np.float32), (net_h, net_w)) > 0.5
-            gm = np.zeros((S, S), bool)
+            gm = np.zeros((SH, SW), bool)
             gm[:net_h, :net_w] = g[:, ::-1] if flip else g
             out["ground_mask"] = gm
             out["ground_valid"] = bool(g.sum() > 0)

@@ -51,14 +51,21 @@ def _iou2d_matrix(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
 
 
 def _iou3d_matrix(dt_corners: np.ndarray, gt_corners: np.ndarray) -> np.ndarray:
-    """Exact 3D IoU via the JAX polytope-clipping op, batched on device.
+    """Exact 3D IoU via the JAX polytope-clipping op, on the LOCAL CPU
+    backend: eval math is host-side (SURVEY §7.0), and on remote-TPU hosts
+    a per-(image, category) device dispatch would cost a tunnel roundtrip
+    each — the former eval bottleneck (~0.5 img/s end to end).
 
     Inputs are padded up to power-of-two-ish buckets so the jitted kernel
     compiles a handful of shapes instead of one per (num_dets, num_gts)
-    pair (padded rows are degenerate zero boxes -> IoU 0, sliced off)."""
+    pair (padded rows are degenerate zero boxes -> IoU 0, sliced off).
+    WEAKCUBE_IOU3D_DEVICE=default restores default-backend execution."""
     D, G = len(dt_corners), len(gt_corners)
     if D == 0 or G == 0:
         return np.zeros((D, G))
+    import os
+
+    import jax
     import jax.numpy as jnp
     from ..ops.iou3d import pairwise_iou3d
 
@@ -73,7 +80,11 @@ def _iou3d_matrix(dt_corners: np.ndarray, gt_corners: np.ndarray) -> np.ndarray:
     gt = np.zeros((pg, 8, 3), np.float32)
     dt[:D] = dt_corners
     gt[:G] = gt_corners
-    _, iou = pairwise_iou3d(jnp.asarray(dt), jnp.asarray(gt))
+    if os.environ.get("WEAKCUBE_IOU3D_DEVICE", "cpu") == "cpu":
+        with jax.default_device(jax.devices("cpu")[0]):
+            _, iou = pairwise_iou3d(jnp.asarray(dt), jnp.asarray(gt))
+    else:
+        _, iou = pairwise_iou3d(jnp.asarray(dt), jnp.asarray(gt))
     return np.asarray(iou)[:D, :G]
 
 
