@@ -83,7 +83,10 @@ class TestTrainablePallasROIAlign:
         feats = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
         xy = rng.uniform(4, 40, (3, 24, 2))
         wh = rng.uniform(8, 50, (3, 24, 2))
-        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        boxes[:, 0] = [-6.0, -4.0, 102.0, 120.0]   # beyond the image: border
+        boxes[:, 1] = [60.0, 70.0, 130.0, 140.0]   # clamp, not zero padding
+        boxes = jnp.asarray(boxes)
         g = jnp.asarray(rng.normal(size=(3, 24, 7, 7, 8)).astype(np.float32))
 
         from weakcube_tpu.ops import roi_align_pallas as rap
@@ -96,3 +99,38 @@ class TestTrainablePallasROIAlign:
         for a, b in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestAutoWindow:
+    def test_window_selection(self):
+        from weakcube_tpu.ops.roi_align_pallas import _auto_window
+        # 512px image, strides 4..64 -> coarsest 8x8 -> 32
+        assert _auto_window([(128, 128), (8, 8)]) == 32
+        # KITTI-ish 1664px wide at stride 32 coarsest -> 52 units -> 64
+        assert _auto_window([(128, 416), (16, 52)]) == 64
+        assert _auto_window([(40, 100)]) == 128
+
+    def test_window64_matches_xla(self, monkeypatch):
+        """KITTI-scale wide input (512 x 1664) exercises the 64-unit window:
+        the coarsest pooled level is (16, 52), so whole-image RoIs (clamped
+        to that level by the area heuristic) span 52 > 32 feature units."""
+        rng = np.random.default_rng(5)
+        strides = (4, 8, 16, 32)
+        H, W = 512, 1664
+        feats = [jnp.asarray(rng.normal(size=(H // s, W // s, 8))
+                             .astype(np.float32)) for s in strides]
+        xy = rng.uniform(4, 600, (12, 2))
+        wh = rng.uniform(30, 500, (12, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        boxes[0] = [2.0, 2.0, 1650.0, 500.0]  # whole image -> top level
+        boxes = jnp.asarray(boxes)
+
+        from weakcube_tpu.ops import roi_align_pallas as rap
+        assert rap._auto_window([f.shape[:2] for f in feats]) == 64
+        orig = rap.pl.pallas_call
+        monkeypatch.setattr(rap.pl, "pallas_call",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+        got = rap.roi_align_pallas_single(feats, boxes, strides)
+        want = _xla_single(feats, boxes, strides)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, rtol=2e-2)

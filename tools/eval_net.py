@@ -118,10 +118,19 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
     vis_budget = int(os.environ.get("WEAKCUBE_EVAL_VIS", 0))
     t0 = time.time()
     n_img = 0
+    batch_times = []   # steady-state excludes per-shape first batches (compile)
+    data_times = []    # time blocked on the host loader (mapper/decode)
+    shapes_seen = set()
+    tb = time.time()
     from weakcube_tpu.data.build import prefetch
-    for batch in prefetch(build_test_batches(cfg, records,
-                                             batch_size=batch_size,
-                                             loaders=loaders)):
+    it = prefetch(build_test_batches(cfg, records, batch_size=batch_size,
+                                     loaders=loaders))
+    while True:
+        td = time.time()
+        batch = next(it, None)
+        data_times.append(time.time() - td)
+        if batch is None:
+            break
         model_batch = {k: batch[k] for k in
                        ("image", "image_wh", "K", "gt", "depth_map",
                         "ground_mask", "ground_valid") if k in batch}
@@ -144,9 +153,24 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
             if rec["image_id"] in gt_recs:
                 evaluator.add(rec, gt_recs[rec["image_id"]])
                 n_img += 1
+        shape = tuple(batch["image"].shape)
+        dt_b = time.time() - tb
+        tb = time.time()
+        if shape in shapes_seen:
+            batch_times.append(dt_b)
+        else:
+            shapes_seen.add(shape)   # first batch per shape pays the compile
     dt = time.time() - t0
     logger.info("inference on %d images in %.1fs (%.2f img/s)", n_img, dt,
                 n_img / max(dt, 1e-9))
+    if batch_times:
+        med = float(np.median(batch_times))
+        med_d = float(np.median(data_times[1:])) if len(data_times) > 1 else 0.0
+        logger.info("steady-state %.2f img/s (%.0f ms/batch of %d, of which "
+                    "%.0f ms blocked on host data; median over %d batches, "
+                    "compile batches excluded)",
+                    batch_size / max(med, 1e-9), med * 1e3, batch_size,
+                    med_d * 1e3, len(batch_times))
 
     results = evaluator.summarize()
     print_ap_table(results, num_classes)

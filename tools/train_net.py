@@ -56,14 +56,14 @@ def setup(args):
         cfg.merge_from_list(args.opts)
     if args.max_iters:
         cfg.SOLVER.MAX_ITER = args.max_iters
-    # the Pallas ROIAlign kernel (inference path) needs a real TPU backend
-    # and the 32-unit window bound (images <= ~720 px)
+    # the Pallas ROIAlign kernel needs a real TPU backend; the window
+    # auto-sizes (32/64/128) so images up to ~2880 px are covered
     import jax
     if "USE_PALLAS_ROI_ALIGN" not in dict(cfg.TPU) or not cfg.TPU.USE_PALLAS_ROI_ALIGN:
         max_side = max([cfg.TPU.IMAGE_SIZE]
                        + [max(b) for b in (cfg.TPU.ASPECT_BUCKETS or [])])
         cfg.TPU.USE_PALLAS_ROI_ALIGN = (
-            jax.default_backend() == "tpu" and max_side <= 720)
+            jax.default_backend() == "tpu" and max_side <= 2880)
     cfg.freeze()
     np.random.seed(12 if cfg.SEED < 0 else cfg.SEED)  # reference uses SEED=12
     return cfg

@@ -38,11 +38,17 @@ def ransac_plane(key: jax.Array, pts: jnp.ndarray,
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
 
-    # sample 3 distinct-ish valid indices per hypothesis via Gumbel top-3
-    # over the validity mask (distinctness guaranteed by top-k).
-    g = jax.random.gumbel(key, (num_hypotheses, n))
-    scores = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, 3)                    # (H, 3)
+    # sample 3 valid indices per hypothesis WITH replacement (the
+    # reference's np.random choice semantics): compact valid indices to the
+    # front once (one argsort), then 3*H cheap uniform draws. (A previous
+    # Gumbel-top-3 formulation materialised an (H, N) noise matrix and
+    # top_k'ed every row — ~10 ms/image at 1000 x 10k, the dominant cost of
+    # the pose_ground loss.) Duplicate indices make a degenerate triple,
+    # which the count mask below discards — same as collinear samples.
+    order = jnp.argsort(~valid, stable=True)             # valid-first
+    V = jnp.maximum(jnp.sum(valid), 1)
+    u = jax.random.randint(key, (num_hypotheses, 3), 0, n, jnp.int32)
+    idx = order[u % V]                                   # (H, 3)
     tri = pts[idx]                                       # (H, 3, 3)
 
     vecA = tri[:, 1] - tri[:, 0]

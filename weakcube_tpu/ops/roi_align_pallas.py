@@ -15,10 +15,13 @@ sample through a giant gather. This kernel restructures the op TPU-natively:
   * RoI scalars (window origin row/col, sub-pixel offsets) arrive via
     PrefetchScalarGridSpec so the DMA address is known up front.
 
-Fixed window: the FPN level heuristic bounds an RoI's extent at its level
-to < 28 feature units for images <= ~720 px, so a 32-unit window covers
-every sample with edge clamping — the same border clamp ROIAlign performs.
-Callers with larger inputs use the XLA path.
+Static window, auto-sized (32/64/128): the FPN level heuristic bounds a
+typical RoI's extent at its level to ~14-20 feature units; only RoIs
+clamped to the coarsest level can exceed it, bounded by that level's own
+dims — _auto_window picks the smallest window covering them (32 up to
+~720 px images with stride-32 pooling, 64 up to ~1440 px, e.g. KITTI).
+Samples beyond the window edge-clamp — the same border clamp ROIAlign
+performs.
 
 Window tiles are staged in bf16 (halves the dominant DMA cost; matmuls
 accumulate fp32 on the MXU). Training uses `roi_align_pallas_trainable`
@@ -52,32 +55,55 @@ WINDOW = 32
 WINDOW_Y = WINDOW + 8
 
 
-def _bilinear_weight_rows(start, step, win, P: int, sampling_ratio: int):
+def _auto_window(feat_hw) -> int:
+    """Smallest window covering a whole-image RoI. The FPN level heuristic
+    sends any non-degenerate-aspect RoI to a level where its extent is
+    ~14-20 feature units; only top-level-clamped (huge) RoIs exceed that,
+    bounded by the coarsest level's own dims. Extreme-aspect RoIs beyond the
+    window degrade to edge-clamped samples (same border clamp as ROIAlign)."""
+    need = max(feat_hw[-1])
+    for w in (32, 64, 128):
+        if need <= w:
+            return w
+    return 128
+
+
+def _bilinear_weight_rows(start, step, win, P: int, sampling_ratio: int,
+                          hi=None):
     """(P, win) bilinear weight rows with the per-bin sample averaging
-    folded in (Mosaic-friendly: int iota + hat function, no slicing)."""
+    folded in (Mosaic-friendly: int iota + hat function, no slicing).
+
+    hi: window-relative last REAL feature row/col for this RoI's level —
+    samples clamp there (ROIAlign's border clamp) rather than running into
+    the window's zero padding (levels narrower than the window, or boxes
+    extending past the feature map)."""
     bins = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
     grid = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
     S = sampling_ratio
+    top = win - 1.0 if hi is None else jnp.minimum(win - 1.0, hi)
     acc = 0.0
     for s in range(S):
-        c = jnp.clip(start + (S * bins + s) * step, 0.0, win - 1.0)
+        c = jnp.clip(start + (S * bins + s) * step, 0.0, top)
         acc = acc + jnp.maximum(1.0 - jnp.abs(grid - c), 0.0)
     return acc / S
 
 
 def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
                       sampling_ratio: int = 2):
-    """One program per RoI. stacked_ref: (sumH_padded, maxW*C) in HBM."""
+    """One program per RoI. stacked_ref: (sumH_padded, maxW*C) in HBM.
+    Window geometry comes from the tile scratch shape: (window+8, window*C)."""
     r = pl.program_id(0)
     C = out_ref.shape[-1]
     P = out_ref.shape[0]
+    WY = tile.shape[0]
+    W = WY - 8
     row0 = pl.multiple_of(meta_ref[r, 0], 8)   # snapped window row
     col0 = meta_ref[r, 1]                       # x0 * C
     if C % 128 == 0:
         col0 = pl.multiple_of(col0, 128)
 
     cp = pltpu.make_async_copy(
-        stacked_ref.at[pl.ds(row0, WINDOW_Y), pl.ds(col0, WINDOW * C)],
+        stacked_ref.at[pl.ds(row0, WY), pl.ds(col0, W * C)],
         tile, sem)
     cp.start()
     cp.wait()
@@ -86,16 +112,18 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
     sx0 = frac_ref[r, 1]
     sdy = frac_ref[r, 2]
     sdx = frac_ref[r, 3]
+    ylim = meta_ref[r, 2].astype(jnp.float32)
+    xlim = meta_ref[r, 3].astype(jnp.float32)
 
-    Wy = _bilinear_weight_rows(sy0, sdy, WINDOW_Y, P,
-                               sampling_ratio).astype(jnp.bfloat16)
-    Wx = _bilinear_weight_rows(sx0, sdx, WINDOW, P, sampling_ratio)
+    Wy = _bilinear_weight_rows(sy0, sdy, WY, P,
+                               sampling_ratio, ylim).astype(jnp.bfloat16)
+    Wx = _bilinear_weight_rows(sx0, sdx, W, P, sampling_ratio, xlim)
 
-    # contract y: (P, WINDOW_Y) @ (WINDOW_Y, WINDOW*C) -> (P, WINDOW, C)
+    # contract y: (P, WY) @ (WY, W*C) -> (P, W, C)
     a = jax.lax.dot_general(Wy, tile[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    a = a.reshape(P, WINDOW, C)
+    a = a.reshape(P, W, C)
     # contract x: (Pj, W) x (Pi, W, C) -> (Pj, Pi, C), then one full-block
     # write (sliced sub-7 writes trip Mosaic's sublane tiling)
     b = jax.lax.dot_general(Wx, a, (((1,), (1,)), ((), ())),
@@ -103,20 +131,23 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
     out_ref[...] = jnp.swapaxes(b, 0, 1)
 
 
-def _stack_dims(feat_hw):
+def _stack_dims(feat_hw, window: int = WINDOW):
     """Stacked-buffer geometry shared by the forward and backward kernels:
-    per-level padded heights (>= WINDOW_Y, multiple of 8 so snapped row
+    per-level padded heights (>= window+8, multiple of 8 so snapped row
     starts stay tile-aligned), their row offsets, padded width, total rows."""
-    heights_padded = [max(WINDOW_Y, -(-h // 8) * 8) for h, _ in feat_hw]
+    wy = window + 8
+    heights_padded = [max(wy, -(-h // 8) * 8) for h, _ in feat_hw]
     row_offsets = list(np.cumsum([0] + heights_padded[:-1]))
-    maxW = max(max(w for _, w in feat_hw), WINDOW)
+    maxW = max(max(w for _, w in feat_hw), window)
     return heights_padded, row_offsets, maxW, sum(heights_padded)
 
 
 def _window_meta(boxes, feat_hw, heights_padded, row_offsets, maxW, C,
-                 strides, output_size, min_level, sampling_ratio):
+                 strides, output_size, min_level, sampling_ratio,
+                 window: int = WINDOW):
     """Per-RoI window plan for one image: meta (R, 4) int32 [stacked row
     origin, x0*C, 0, 0] and frac (R, 4) f32 [sy0, sx0, sdy, sdx]."""
+    window_y = window + 8
     L = len(feat_hw)
     max_level = min_level + L - 1
     levels = assign_fpn_levels(boxes, min_level, max_level) - min_level
@@ -141,32 +172,40 @@ def _window_meta(boxes, feat_hw, heights_padded, row_offsets, maxW, C,
 
     # snap the row origin to the 8-row sublane tile (Mosaic DMA alignment);
     # the residual rides in the sub-pixel offset and the window has 8 rows
-    # of slack (WINDOW_Y = WINDOW + 8)
+    # of slack (window_y = window + 8)
     y0 = jnp.clip(jnp.floor(sy_start).astype(jnp.int32),
-                  0, jnp.maximum(hs - WINDOW_Y, 0))
+                  0, jnp.maximum(hs - window_y, 0))
     y0 = (y0 // 8) * 8
     x0 = jnp.clip(jnp.floor(sx_start).astype(jnp.int32),
-                  0, jnp.maximum(jnp.minimum(ws, maxW) - WINDOW, 0))
+                  0, jnp.maximum(jnp.minimum(ws, maxW) - window, 0))
 
+    # window-relative last REAL row/col of the RoI's level: samples clamp
+    # there (ROIAlign border clamp), never into the window's zero padding
+    real_h = jnp.asarray([h for h, _ in feat_hw], jnp.int32)[levels]
     meta = jnp.stack([row_off + y0, x0 * C,
-                      jnp.zeros_like(y0), jnp.zeros_like(y0)], -1).astype(jnp.int32)
+                      real_h - 1 - y0, ws - 1 - x0], -1).astype(jnp.int32)
     frac = jnp.stack([sy_start - y0.astype(jnp.float32),
                       sx_start - x0.astype(jnp.float32), sdy, sdx], -1)
     return meta, frac
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "strides",
-                                             "min_level", "sampling_ratio"))
+                                             "min_level", "sampling_ratio",
+                                             "window"))
 def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                             strides=(4, 8, 16, 32, 64), output_size: int = 7,
                             min_level: int = 2,
-                            sampling_ratio: int = 2) -> jnp.ndarray:
+                            sampling_ratio: int = 2,
+                            window: int = 0) -> jnp.ndarray:
     """Single-image Pallas ROIAlign: features [(H_l, W_l, C)], boxes (R, 4)
-    -> (R, 7, 7, C)."""
+    -> (R, 7, 7, C). window=0 selects the smallest size (32/64/128) that
+    covers whole-image RoIs at the coarsest level."""
     R = boxes.shape[0]
     C = features[0].shape[-1]
     feat_hw = [f.shape[:2] for f in features]
-    heights_padded, row_offsets, maxW, _ = _stack_dims(feat_hw)
+    window = window or _auto_window(feat_hw)
+    window_y = window + 8
+    heights_padded, row_offsets, maxW, _ = _stack_dims(feat_hw, window)
 
     # stack levels along rows, padded to (Hp_l, maxW)
     rows = []
@@ -178,7 +217,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
 
     meta, frac = _window_meta(boxes, feat_hw, heights_padded, row_offsets,
                               maxW, C, strides, output_size, min_level,
-                              sampling_ratio)
+                              sampling_ratio, window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -187,7 +226,7 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         out_specs=pl.BlockSpec((1, output_size, output_size, C),
                                lambda r, *_: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((window_y, window * C), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA],
     )
 
@@ -208,11 +247,12 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
                                 strides=(4, 8, 16, 32, 64),
                                 output_size: int = 7,
                                 min_level: int = 2,
-                                sampling_ratio: int = 2) -> jnp.ndarray:
+                                sampling_ratio: int = 2,
+                                window: int = 0) -> jnp.ndarray:
     """Batched wrapper: features [(B, H, W, C)], boxes (B, R, 4)."""
     fn = functools.partial(roi_align_pallas_single, strides=tuple(strides),
                            output_size=output_size, min_level=min_level,
-                           sampling_ratio=sampling_ratio)
+                           sampling_ratio=sampling_ratio, window=window)
     return jax.vmap(lambda fs, b: fn(fs, b))(list(features), boxes)
 
 
@@ -245,12 +285,14 @@ def _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
     del zeros_ref
     P = g_ref.shape[1]
     C = g_ref.shape[-1]
+    WY = tile.shape[0]
+    W = WY - 8
     row0 = pl.multiple_of(meta_ref[0, 0, 0], 8)
     col0 = meta_ref[0, 0, 1]
     if C % 128 == 0:
         col0 = pl.multiple_of(col0, 128)
 
-    window = acc_ref.at[pl.ds(row0, WINDOW_Y), pl.ds(col0, WINDOW * C)]
+    window = acc_ref.at[pl.ds(row0, WY), pl.ds(col0, W * C)]
     cp_in = pltpu.make_async_copy(window, tile, sem)
     cp_in.start()
 
@@ -258,23 +300,25 @@ def _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
     sx0 = frac_ref[0, 0, 1]
     sdy = frac_ref[0, 0, 2]
     sdx = frac_ref[0, 0, 3]
+    ylim = meta_ref[0, 0, 2].astype(jnp.float32)
+    xlim = meta_ref[0, 0, 3].astype(jnp.float32)
     # fp32 weights: the backward is the gradient of the idealised (fp32) op;
     # the forward's bf16 tile staging is treated as rounding noise
-    Wy = _bilinear_weight_rows(sy0, sdy, WINDOW_Y, P, sampling_ratio)
-    Wx = _bilinear_weight_rows(sx0, sdx, WINDOW, P, sampling_ratio)
+    Wy = _bilinear_weight_rows(sy0, sdy, WY, P, sampling_ratio, ylim)
+    Wx = _bilinear_weight_rows(sx0, sdx, W, P, sampling_ratio, xlim)
 
     g = g_ref[0].astype(jnp.float32)                       # (P, P, C)
-    # contract i: (P, WINDOW_Y)^T x (P, P, C) -> (WINDOW_Y, P, C)
+    # contract i: (P, WY)^T x (P, P, C) -> (WY, P, C)
     h = jax.lax.dot_general(Wy, g, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     # contract j per y-row (batched so the output lands (y, x, c)-major):
-    # (Y, P, WINDOW) x (Y, P, C) -> (Y, WINDOW, C)
-    Wx_b = jnp.broadcast_to(Wx[None], (WINDOW_Y, P, WINDOW))
+    # (Y, P, W) x (Y, P, C) -> (Y, W, C)
+    Wx_b = jnp.broadcast_to(Wx[None], (WY, P, W))
     gt = jax.lax.dot_general(Wx_b, h, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
 
     cp_in.wait()
-    tile[...] += gt.reshape(WINDOW_Y, WINDOW * C)
+    tile[...] += gt.reshape(WY, W * C)
     cp_out = pltpu.make_async_copy(tile, window, sem)
     cp_out.start()
     cp_out.wait()
@@ -288,11 +332,13 @@ def _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level, res, g):
     C = shapes[0][-1]
     P = output_size
     feat_hw = [(s[1], s[2]) for s in shapes]
-    heights_padded, row_offsets, maxW, sumH = _stack_dims(feat_hw)
+    window = _auto_window(feat_hw)
+    window_y = window + 8
+    heights_padded, row_offsets, maxW, sumH = _stack_dims(feat_hw, window)
 
     meta, frac = jax.vmap(lambda bx: _window_meta(
         bx, feat_hw, heights_padded, row_offsets, maxW, C, strides,
-        output_size, min_level, sampling_ratio))(boxes)    # (B, R, 4)
+        output_size, min_level, sampling_ratio, window))(boxes)  # (B, R, 4)
     # fold the batch into the stacked row origin -> one flat sequential grid
     meta = meta.at[..., 0].add(
         (jnp.arange(B, dtype=jnp.int32) * sumH)[:, None])
@@ -315,7 +361,7 @@ def _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level, res, g):
                   pl.BlockSpec((1, P, P, C), lambda r: (r, 0, 0, 0)),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((WINDOW_Y, WINDOW * C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((window_y, window * C), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         out_shape=jax.ShapeDtypeStruct((B * sumH, maxW * C), jnp.float32),
         # operand index over inputs: (meta, frac, g, zeros)
