@@ -1,29 +1,187 @@
 #!/usr/bin/env python
-"""Benchmark: flagship Weak Cube R-CNN (DLA34-FPN) inference throughput on
-one TPU chip.
+"""Benchmarks for the flagship Weak Cube R-CNN stack on one TPU chip.
 
-Prints ONE JSON line:
+Prints one JSON line per benchmark
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+in this order (each stage is independently guarded; the LAST line is the
+headline inference metric the driver has tracked since round 1):
 
-Baseline note: the reference publishes no throughput numbers (SURVEY §6).
-The denominator used here is an estimated 12 images/sec for the reference
-PyTorch Cube R-CNN DLA34-FPN inference at 512 px on its thesis hardware
-(1x A40), derived from typical detectron2 DLA34-FPN runtime; BASELINE.json
-targets >= 5x this per chip.
+  1. weakcube_train_step_recipe   full fwd+bwd+update at the published
+     recipe scale (Omni_combined: b25@512px, losses iou + z_pseudo_gt_center
+     + pose_alignment + pose_ground, reference submit.sh:15-27), with an MFU
+     estimate. Baseline: the thesis A40 trains this recipe at ~1.7 s/it
+     (25 img / it -> 14.7 img/s).
+  2. depth_anything_v2_vitl_518px pseudo-GT depth throughput, batched bf16
+     (the reference generates depth maps one image at a time,
+     generate_depth_maps.py:82-86; ~13 img/s on an A40).
+  3. weakcube_dla34_fpn_inference_512px   bf16 batched inference.
+     Baseline: estimated 12 img/s for the reference PyTorch Cube R-CNN
+     DLA34-FPN at 512 px on the thesis A40 (no published number, SURVEY §6).
+
+Skip stages with BENCH_SKIP_TRAIN=1 / BENCH_SKIP_DEPTH=1 (the inference
+stage always runs). BENCH_BATCH / BENCH_TRAIN_BATCH / BENCH_DEPTH_BATCH
+override batch sizes.
+
+Methodology (axon remote-TPU platform): jax.block_until_ready is unreliable
+here, so every timing fetches a scalar to host and subtracts the tunnel
+round-trip (measured with a trivial kernel); medians guard against VM
+pauses.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-BASELINE_IMAGES_PER_SEC = 12.0
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", 32))
-IMAGE_SIZE = 512
+BASELINE_INFER_IPS = 12.0      # estimated reference inference on A40
+BASELINE_TRAIN_IPS = 14.7      # 25 img / 1.7 s/it recipe training on A40
+BASELINE_DEPTH_IPS = 13.0      # unbatched DAv2-L 518px on A40
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
-def main():
+def _measure_rtt():
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(jnp.zeros(())))  # compile
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _ = float(tiny(jnp.zeros(())))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"# tunnel round-trip median {rtt * 1e3:.1f}ms", file=sys.stderr)
+    return rtt
+
+
+def _timed_scalar(fn, rtt, iters, *args):
+    """Median seconds per call, host-sync via scalar fetch, rtt-corrected."""
+    per = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fn(i, *args)
+        _ = float(out)
+        per.append(time.perf_counter() - t0)
+    return max(float(np.median(per)) - rtt, 1e-6)
+
+
+def bench_train(rtt):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_batch
+    from weakcube_tpu.config import get_cfg
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel import make_mesh, make_train_step, shard_batch
+    from weakcube_tpu.parallel.train_step import TrainState
+    from weakcube_tpu.solver import build_optimizer
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 25))
+    S = 512
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "configs", "Omni_combined.yaml"))
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
+    cfg.TPU.IMAGE_SIZE = S
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    cfg.freeze()
+
+    priors = {"priors_dims_per_cat": np.tile(
+        np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (38, 1, 1))}
+    model = build_model(cfg, priors)
+    batch = _tiny_batch(B, S, S, G=16, with_depth=True)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, batch, train=True,
+                             rng=jax.random.fold_in(r, 1)))(rng)
+    params = variables["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params), loss_ema=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool), skipped=jnp.zeros((), jnp.int32),
+        applied=jnp.zeros((), jnp.int32))
+    print(f"# train init {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    mesh = make_mesh([-1], ["data"])
+    state = jax.device_put(state)
+    batch = shard_batch(batch, mesh)
+    step = make_train_step(model, tx)
+
+    # MFU numerator: analytical flops of the compiled step graph
+    flops = None
+    try:
+        lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
+            state, batch, jax.random.fold_in(rng, 2))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - backend-specific
+        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    state, logs = step(state, batch, jax.random.fold_in(rng, 2))
+    _ = float(logs["total_loss"])
+    print(f"# train compile+first {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    cell = {"s": state}
+
+    def one(i):
+        cell["s"], logs = step(cell["s"], batch, jax.random.fold_in(rng, 3 + i))
+        return logs["total_loss"]
+
+    sec = _timed_scalar(lambda i: one(i), rtt, 10)
+    ips = B / sec
+    mfu = (flops / sec / PEAK_FLOPS) if flops else None
+    print(f"# train step {sec * 1e3:.0f}ms  flops {flops and flops / 1e12}T  "
+          f"MFU {mfu and round(100 * mfu, 1)}%", file=sys.stderr)
+    line = {
+        "metric": "weakcube_train_step_recipe",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_TRAIN_IPS, 2),
+    }
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    print(json.dumps(line))
+
+
+def bench_depth(rtt):
+    import jax
+    import jax.numpy as jnp
+    from weakcube_tpu.data.pseudo_gt.depth_anything_v2 import DepthAnythingV2
+
+    B = int(os.environ.get("BENCH_DEPTH_BATCH", 16))
+    SIZE = 518
+    model = DepthAnythingV2(variant="vitl", max_depth=20.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(B, SIZE, SIZE, 3)).astype(np.float32))
+    t0 = time.perf_counter()
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))["params"]
+    fwd = jax.jit(lambda p, xi: model.apply({"params": p}, xi)[0, 0, 0])
+    _ = float(fwd(params, x))
+    print(f"# depth init+compile {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+    sec = _timed_scalar(lambda i: fwd(params, x + i * 1e-6), rtt, 12)
+    ips = B / sec
+    print(f"# depth step {sec * 1e3:.0f}ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "depth_anything_v2_vitl_518px",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_DEPTH_IPS, 2),
+    }))
+
+
+def bench_inference(rtt):
     import jax
     import jax.numpy as jnp
 
@@ -31,17 +189,16 @@ def main():
     from weakcube_tpu.models.rcnn3d import build_model
     from weakcube_tpu.structures import GroundTruth
 
+    B = int(os.environ.get("BENCH_BATCH", 32))
+    S = 512
     cfg = get_cfg()
     cfg.MODEL.META_ARCHITECTURE = "RCNN3D_combined_features"
     cfg.MODEL.ROI_HEADS.NAME = "ROIHeads3DScore"
     cfg.MODEL.BACKBONE.NAME = "build_dla_from_vision_fpn_backbone"
     cfg.MODEL.DLA.TYPE = "dla34"
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38  # SUN RGB-D universe
-    cfg.TPU.IMAGE_SIZE = IMAGE_SIZE
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
+    cfg.TPU.IMAGE_SIZE = S
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    import os
-    # Pallas ROIAlign on by default (3.2x inference speedup); disable with
-    # BENCH_NO_PALLAS=1 to measure the XLA-gather path
     cfg.TPU.USE_PALLAS_ROI_ALIGN = not os.environ.get("BENCH_NO_PALLAS")
     cfg.freeze()
 
@@ -50,7 +207,6 @@ def main():
     model = build_model(cfg, priors)
 
     rng = np.random.default_rng(0)
-    B, S = BATCH, IMAGE_SIZE
     K = np.tile(np.array([[500.0, 0, S / 2], [0, 500.0, S / 2], [0, 0, 1]],
                          np.float32), (B, 1, 1))
     G = 8
@@ -67,63 +223,48 @@ def main():
         "gt": gt,
     }
 
-    import sys
     t0 = time.perf_counter()
-    # init via the inference graph only (train graph init is much larger and
-    # creates the same parameter tree)
     variables = jax.jit(
-        lambda rng: model.init({"params": rng}, batch, train=False)
+        lambda r: model.init({"params": r}, batch, train=False)
     )(jax.random.PRNGKey(0))
-    jax.block_until_ready(variables)
-    print(f"# init done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"# infer init {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     @jax.jit
-    def forward(variables, batch):
-        det = model.apply(variables, batch, train=False)
-        return det.boxes, det.scores3D, det.centers3D, det.poses3D
+    def forward(variables, b):
+        det = model.apply(variables, b, train=False)
+        return det.scores3D[0, 0]
 
-    # warmup / compile
     t0 = time.perf_counter()
-    out = forward(variables, batch)
-    jax.block_until_ready(out)
-    print(f"# forward compile+run in {time.perf_counter() - t0:.1f}s",
+    _ = float(forward(variables, batch))
+    print(f"# infer compile+first {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
-    # NOTE on methodology: on this remote-tunnelled platform
-    # jax.block_until_ready is unreliable (returns before execution), so the
-    # only trustworthy sync is fetching a scalar to host. That fetch pays the
-    # tunnel round-trip, which we measure separately with a trivial kernel
-    # and subtract. Medians guard against this host's multi-second VM pauses.
-    tiny = jax.jit(lambda x: x + 1.0)
-    _ = float(tiny(jnp.zeros(())))  # compile
-    rtts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        _ = float(tiny(jnp.zeros(())))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    print(f"# tunnel round-trip median {rtt * 1e3:.1f}ms", file=sys.stderr)
-
-    iters = 20
-    per_iter = []
-    for i in range(iters):
-        b = dict(batch, image=batch["image"] + (i * 1e-6))
-        t0 = time.perf_counter()
-        out = forward(variables, b)
-        _ = float(out[1][0, 0])  # forces full execution + transfer
-        per_iter.append(time.perf_counter() - t0)
-    step = max(float(np.median(per_iter)) - rtt, 1e-6)
-    dt = step * iters
-    print(f"# per-iter: median {np.median(per_iter) * 1e3:.1f}ms "
-          f"(- rtt -> {step * 1e3:.1f}ms compute)", file=sys.stderr)
-
-    ips = BATCH * iters / dt
+    sec = _timed_scalar(
+        lambda i: forward(variables, dict(batch, image=batch["image"] + i * 1e-6)),
+        rtt, 20)
+    ips = B / sec
+    print(f"# infer step {sec * 1e3:.1f}ms", file=sys.stderr)
     print(json.dumps({
         "metric": "weakcube_dla34_fpn_inference_512px",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+        "vs_baseline": round(ips / BASELINE_INFER_IPS, 2),
     }))
+
+
+def main():
+    rtt = _measure_rtt()
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            bench_train(rtt)
+        except Exception as e:
+            print(f"# train bench failed: {e!r}", file=sys.stderr)
+    if not os.environ.get("BENCH_SKIP_DEPTH"):
+        try:
+            bench_depth(rtt)
+        except Exception as e:
+            print(f"# depth bench failed: {e!r}", file=sys.stderr)
+    bench_inference(rtt)
 
 
 if __name__ == "__main__":

@@ -103,13 +103,12 @@ def main(argv=None):
         if variables is None:
             variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                    train=False)
-            # load weights if configured
+            # load weights if configured (cubercnn:// URIs and released
+            # .pth checkpoints are resolved/converted, like eval)
             if cfg.MODEL.WEIGHTS:
-                import orbax.checkpoint as ocp
-                restored = ocp.StandardCheckpointer().restore(
-                    os.path.abspath(cfg.MODEL.WEIGHTS))
-                variables = {"params": restored["params"],
-                             "batch_stats": restored.get("batch_stats", {})}
+                from weakcube_tpu.solver.checkpoint import load_model_weights
+                params, batch_stats = load_model_weights(cfg.MODEL.WEIGHTS, cfg)
+                variables = {"params": params, "batch_stats": batch_stats}
         model_batch = {k: batch[k] for k in
                        ("image", "image_wh", "K", "gt", "depth_map",
                         "ground_mask", "ground_valid") if k in batch}

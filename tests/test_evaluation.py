@@ -126,3 +126,73 @@ class TestAP3D:
         res_plain = evaluate_detections([dt], [gt], 1, mode="3D", proximity=False)
         np.testing.assert_allclose(res_prox["AP"], 100.0, atol=0.5)
         assert res_plain["AP"] < 100.0
+
+
+class TestSummarizeAll:
+    """summarize_all's pooled-union aggregation vs the reference's
+    re-accumulation of cached per-category evals across datasets
+    (omni3d_evaluation.py:378-520): on a two-dataset fixture the pooled
+    `overall` must equal a direct evaluation of the union of records, and
+    per-dataset results must equal isolated evaluations."""
+
+    def _two_datasets(self):
+        rng = np.random.default_rng(3)
+        data = {}
+        for di, name in enumerate(["SUNRGBD_test", "KITTI_test"]):
+            dts, gts = [], []
+            for i in range(6):
+                # image ids deliberately OVERLAP across datasets (both 0..5)
+                n = 1 + int(rng.integers(0, 3))
+                boxes = np.stack([
+                    np.array([10 + 30 * j, 10, 40 + 30 * j, 60], np.float32)
+                    for j in range(n)])
+                classes = rng.integers(0, 3, n)
+                ctrs = np.stack([np.array([j - 1, 0, 4.0 + 2 * j + di])
+                                 for j in range(n)])
+                dims = np.ones((n, 3)) + 0.1 * di
+                gts.append(make_gt(i, boxes, classes, ctrs, dims))
+                # detections: jitter half the boxes, drop one, add an FP
+                dboxes = boxes + rng.normal(0, 2, boxes.shape).astype(np.float32)
+                dctrs = ctrs + rng.normal(0, 0.1, ctrs.shape)
+                scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+                dts.append(make_dt(i, dboxes, scores, classes, dctrs, dims))
+            data[name] = (dts, gts)
+        return data
+
+    def test_pooled_overall_equals_union_eval(self):
+        from weakcube_tpu.evaluation.omni3d_eval import Omni3DEvaluationHelper
+        data = self._two_datasets()
+        helper = Omni3DEvaluationHelper(list(data), num_classes=3,
+                                        proximity_datasets=())
+        for name, (dts, gts) in data.items():
+            for d, g in zip(dts, gts):
+                assert helper.add_predictions(name, d, g)
+        summary = helper.summarize_all()
+
+        # per-dataset results match isolated evaluators
+        for name, (dts, gts) in data.items():
+            res2d = evaluate_detections(dts, gts, 3, "2D")
+            res3d = evaluate_detections(dts, gts, 3, "3D")
+            np.testing.assert_allclose(
+                summary["per_dataset"][name]["AP2D"], res2d["AP"], atol=1e-9)
+            np.testing.assert_allclose(
+                summary["per_dataset"][name]["AP3D"], res3d["AP"], atol=1e-9)
+
+        # overall matches a direct union evaluation with disambiguated ids
+        union_dt, union_gt = [], []
+        for di, (name, (dts, gts)) in enumerate(data.items()):
+            for d, g in zip(dts, gts):
+                union_dt.append(dict(d, image_id=d["image_id"] + 1000 * di))
+                union_gt.append(dict(g, image_id=g["image_id"] + 1000 * di))
+        res2d = evaluate_detections(union_dt, union_gt, 3, "2D")
+        res3d = evaluate_detections(union_dt, union_gt, 3, "3D")
+        np.testing.assert_allclose(summary["overall"]["AP2D"], res2d["AP"],
+                                   atol=1e-9)
+        np.testing.assert_allclose(summary["overall"]["AP3D"], res3d["AP"],
+                                   atol=1e-9)
+        for short, full in (("AP3D@15", "AP15"), ("AP3D@25", "AP25"),
+                            ("AP3D@50", "AP50")):
+            np.testing.assert_allclose(summary["overall"][short],
+                                       res3d[full], atol=1e-9)
+        # overlapping raw image ids must NOT have collided
+        assert len(union_gt) == sum(len(g) for _, g in data.values())

@@ -1,5 +1,6 @@
 """Multi-device (8 virtual CPU) sharding tests: mesh construction, batch
 sharding, and one full weak-training step under jit over the mesh."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,3 +105,33 @@ class TestShardingEquivalence:
         for a, b in zip(flat_s, flat_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=2e-3)
+
+
+def test_multihost_entry_single_process():
+    """maybe_initialize_distributed with an explicit coordinator on a
+    1-process 'cluster' (fresh subprocess: jax.distributed is global).
+    Reference equivalent: launch(num_machines=1), train_net.py:529-536."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ,
+               WEAKCUBE_COORDINATOR="127.0.0.1:8476",
+               WEAKCUBE_NUM_PROCESSES="1", WEAKCUBE_PROCESS_ID="0",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from weakcube_tpu.parallel import (maybe_initialize_distributed,\n"
+        "                                   is_main_process, make_mesh)\n"
+        "assert maybe_initialize_distributed()\n"
+        "assert is_main_process()\n"
+        "assert jax.process_count() == 1\n"
+        "mesh = make_mesh([-1], ['data'])\n"
+        "assert mesh.size == 4\n"
+        "print('multihost-entry ok')\n" % os.path.abspath(repo))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "multihost-entry ok" in r.stdout

@@ -152,3 +152,43 @@ class TestZooConversion:
         det = model.apply({"params": conv_p, "batch_stats": conv_s},
                           batch, train=False)
         assert np.all(np.isfinite(np.asarray(det.scores3D)))
+
+    def test_eval_only_model_weights_pth(self, tmp_path):
+        """`--eval-only MODEL.WEIGHTS <zoo .pth>` end to end: a detectron2-
+        named .pth is converted on the fly and evaluated on the synthetic
+        Omni3D-format dataset, producing finite AP (reference M2 workflow:
+        README.md:75-79 + tools/train_net.py:149-155)."""
+        import os
+        import sys
+
+        import torch
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.train_net import main, parse_args, setup
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        opts = ["MODEL.META_ARCHITECTURE", "RCNN3D",
+                "MODEL.ROI_HEADS.NAME", "ROIHeads3D",
+                "MODEL.BACKBONE.NAME", "build_dla_from_vision_fpn_backbone",
+                "MODEL.DLA.TYPE", "dla34",
+                "TPU.IMAGE_SIZE", "128",
+                "OUTPUT_DIR", str(tmp_path / "out")]
+        argv = ["--config-file", os.path.join(repo, "configs/synthetic_smoke.yaml"),
+                "--eval-only", "--synthetic", "4"] + opts
+
+        # build the fake zoo .pth by inverting the converter mapping from an
+        # init tree of the SAME cfg the CLI will evaluate with
+        cfg = setup(parse_args(argv))
+        model = build_model(cfg)
+        import __graft_entry__ as ge
+        batch = ge._tiny_batch(1, 64, 64, with_depth=False)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
+        sd = _fake_d2_state_dict(jax.device_get(variables["params"]),
+                                 jax.device_get(variables.get("batch_stats", {})))
+        pth = tmp_path / "zoo_dla34.pth"
+        torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in sd.items()}}, pth)
+
+        results = main(argv + ["MODEL.WEIGHTS", str(pth)])
+        assert results is not None and "AP2D" in results
+        assert np.isfinite(results["AP2D"])

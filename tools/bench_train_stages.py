@@ -105,6 +105,10 @@ def main():
 
     results = {}
     model, tx, state, batch, rng = build()
+    # fwd-only variants bypass make_train_step's metrics_tick injection;
+    # pin it False so the every-200-steps IoU3D diagnostic (135 ms) does
+    # not pollute the steady-state stage timings
+    batch = dict(batch, metrics_tick=jnp.zeros((), bool))
     r2 = jax.random.fold_in(rng, 2)
 
     def stepper(step_fn, state0, batch0):

@@ -74,46 +74,84 @@ def gt_records_from_raw(records):
 
 
 def do_test(cfg, args, records, loaders, model=None, variables=None,
-            proximity: bool = True, batch_size: int = 8):
+            proximity: bool = True, batch_size: int = 8, sharded=None):
+    """sharded: None = shard inference over all visible devices when more
+    than one is present (the reference's per-rank inference + gather,
+    omni3d_evaluation.py:523-642, as SPMD batch sharding + host device_get);
+    False forces single-device."""
     import jax
     from weakcube_tpu.data.build import build_test_batches
     from weakcube_tpu.evaluation import Omni3DEvaluator
     from weakcube_tpu.models.priors import compute_priors
     from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel import make_mesh, replicate, shard_batch
     from weakcube_tpu.parallel.train_step import make_eval_step
-    from weakcube_tpu.vis.logperf import print_ap_table
+    from weakcube_tpu.vis.logperf import (print_ap_analysis_histogram,
+                                          print_ap_category_histogram,
+                                          print_ap_table)
 
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    n_dev = jax.device_count()
+    mesh = None
+    if (sharded if sharded is not None else n_dev > 1) and n_dev > 1:
+        # round the batch up to a device multiple so the data axis shards
+        batch_size = -(-batch_size // n_dev) * n_dev
+        mesh = make_mesh([-1], ["data"])
+        logger.info("sharded eval over %d devices (batch %d)", n_dev,
+                    batch_size)
     if model is None:
         priors = compute_priors(cfg, records, num_classes)
         model = build_model(cfg, priors)
     if variables is None:
-        from weakcube_tpu.solver.checkpoint import PeriodicCheckpointerOnlyOne
-        ckpt = PeriodicCheckpointerOnlyOne(cfg.OUTPUT_DIR, 1)
-        # restore weights-only from model_final/model_recent
+        # cfg.MODEL.WEIGHTS names an explicit checkpoint to evaluate
+        # (reference resume_or_load semantics: cubercnn:// URIs, released
+        # .pth files, orbax dirs); fall back to OUTPUT_DIR's rolling ckpt
         first = next(build_test_batches(cfg, records[:batch_size],
                                         batch_size=batch_size, loaders=loaders))
         init_vars = model.init({"params": jax.random.PRNGKey(0)}, first,
                                train=False)
         target = {"params": init_vars["params"],
                   "batch_stats": init_vars.get("batch_stats", {})}
-        name = "model_final" if os.path.exists(
-            os.path.join(cfg.OUTPUT_DIR, "model_final")) else "model_recent"
-        if os.path.exists(os.path.join(cfg.OUTPUT_DIR, name)):
-            import orbax.checkpoint as ocp
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.join(os.path.abspath(cfg.OUTPUT_DIR), name))
-            variables = {"params": restored["params"],
-                         "batch_stats": restored.get("batch_stats", {})}
-            logger.info("restored %s", name)
+        if cfg.MODEL.WEIGHTS:
+            from weakcube_tpu.solver.checkpoint import load_model_weights
+            params, batch_stats = load_model_weights(cfg.MODEL.WEIGHTS, cfg)
+            variables = {"params": params, "batch_stats": batch_stats}
+            logger.info("restored MODEL.WEIGHTS=%s", cfg.MODEL.WEIGHTS)
         else:
-            variables = target
-            logger.warning("no checkpoint found in %s; evaluating random init",
-                           cfg.OUTPUT_DIR)
+            name = "model_final" if os.path.exists(
+                os.path.join(cfg.OUTPUT_DIR, "model_final")) else "model_recent"
+            if os.path.exists(os.path.join(cfg.OUTPUT_DIR, name)):
+                import orbax.checkpoint as ocp
+                restored = ocp.StandardCheckpointer().restore(
+                    os.path.join(os.path.abspath(cfg.OUTPUT_DIR), name))
+                variables = {"params": restored["params"],
+                             "batch_stats": restored.get("batch_stats", {})}
+                logger.info("restored %s", name)
+            else:
+                variables = target
+                logger.warning("no checkpoint found in %s; evaluating random "
+                               "init", cfg.OUTPUT_DIR)
 
+    if mesh is not None:
+        variables = replicate(variables, mesh)
     eval_step = make_eval_step(model)
-    evaluator = Omni3DEvaluator(num_classes, proximity=proximity)
     gt_recs = {g["image_id"]: g for g in gt_records_from_raw(records)}
+    # multi-dataset: one evaluator per source dataset + pooled summarize_all
+    # (reference Omni3DEvaluationHelper, omni3d_evaluation.py:168-520)
+    ds_of = {r["image_id"]: r.get("dataset_name", "dataset") for r in records}
+    ds_names = sorted(set(ds_of.values()))
+    multi_ds = len(ds_names) > 1
+    if multi_ds:
+        from weakcube_tpu.evaluation import Omni3DEvaluationHelper
+        helper = Omni3DEvaluationHelper(
+            ds_names, num_classes,
+            output_folder=os.path.join(cfg.OUTPUT_DIR, "eval") if
+            cfg.OUTPUT_DIR else None)
+        add_record = lambda rec: helper.add_predictions(
+            ds_of[rec["image_id"]], rec, gt_recs[rec["image_id"]])
+    else:
+        evaluator = Omni3DEvaluator(num_classes, proximity=proximity)
+        add_record = lambda rec: evaluator.add(rec, gt_recs[rec["image_id"]])
 
     vis_budget = int(os.environ.get("WEAKCUBE_EVAL_VIS", 0))
     t0 = time.time()
@@ -134,6 +172,8 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
         model_batch = {k: batch[k] for k in
                        ("image", "image_wh", "K", "gt", "depth_map",
                         "ground_mask", "ground_valid") if k in batch}
+        if mesh is not None:
+            model_batch = shard_batch(model_batch, mesh)
         det = eval_step(variables["params"], variables["batch_stats"], model_batch)
         # eval-time JPEG dumps (reference vis.visualize_from_instances)
         if vis_budget > 0:
@@ -150,8 +190,10 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
                     os.path.join(vdir, f"{int(batch['image_id'][i])}_pred.jpg"))
                 vis_budget -= 1
         for rec in detections_to_records(det, batch, cfg.TEST.DETECTIONS_PER_IMAGE):
-            if rec["image_id"] in gt_recs:
-                evaluator.add(rec, gt_recs[rec["image_id"]])
+            # only count records the evaluator actually accepted: aspect
+            # buckets pad each tail batch by repeating the last example, and
+            # add() silently drops those duplicates
+            if rec["image_id"] in gt_recs and add_record(rec):
                 n_img += 1
         shape = tuple(batch["image"].shape)
         dt_b = time.time() - tb
@@ -172,8 +214,30 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
                     batch_size / max(med, 1e-9), med * 1e3, batch_size,
                     med_d * 1e3, len(batch_times))
 
-    results = evaluator.summarize()
-    print_ap_table(results, num_classes)
+    if multi_ds:
+        # reference end-of-eval report: per-dataset, analysis, omni tables
+        # (omni3d_evaluation.py:378-520 + logperf.py)
+        from weakcube_tpu.vis.logperf import (print_ap_dataset_histogram,
+                                              print_ap_omni_histogram,
+                                              print_dataset_analysis_histogram)
+        for name in ds_names:
+            helper.save_predictions(name)
+        summary = helper.summarize_all()
+        for name, res in summary["per_dataset"].items():
+            print(f"== {name} ==")
+            print_ap_table(res, num_classes)
+            print_ap_category_histogram(name, res)
+        print_dataset_analysis_histogram(summary["per_dataset"])
+        print_ap_dataset_histogram(summary["per_dataset"])
+        print_ap_omni_histogram(summary["overall"])
+        results = summary["overall"]
+        results["per_dataset"] = summary["per_dataset"]
+    else:
+        results = evaluator.summarize()
+        print_ap_table(results, num_classes)
+        print_ap_category_histogram(ds_names[0] if ds_names else "dataset",
+                                    results)
+        print_ap_analysis_histogram(results)
     return results
 
 

@@ -157,6 +157,12 @@ def do_train(cfg, args, records, loaders, num_classes):
         else:
             params = load_weights_pretrain(src, params)
         logger.info("warm-started weights from %s", cfg.MODEL.WEIGHTS_PRETRAIN)
+    elif cfg.MODEL.WEIGHTS:
+        # reference resume_or_load(cfg.MODEL.WEIGHTS): warm-start any named
+        # checkpoint when not resuming (tools/train_net.py:149-155)
+        from weakcube_tpu.solver.checkpoint import load_model_weights
+        params, batch_stats = load_model_weights(cfg.MODEL.WEIGHTS, cfg)
+        logger.info("initialised weights from MODEL.WEIGHTS=%s", cfg.MODEL.WEIGHTS)
     tx = build_optimizer(cfg, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
@@ -178,6 +184,7 @@ def do_train(cfg, args, records, loaders, num_classes):
 
     from weakcube_tpu.utils.util import ETA
     eta = ETA(max_iter - start_iter)
+    vis_eval_step = [None]  # lazily-built jitted inference graph for vis
     attempt = 1
     it = start_iter
     data_time = step_time = 0.0
@@ -197,11 +204,12 @@ def do_train(cfg, args, records, loaders, num_classes):
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s/profile", cfg.OUTPUT_DIR)
 
-        # periodic visual dumps of GT scenes (reference VIS_PERIOD images,
-        # rcnn3d.py:126-263: GT vs proposals/predictions)
+        # periodic visual dumps (reference VIS_PERIOD images, rcnn3d.py:
+        # 126-263: GT 2D boxes + GT-vs-predicted 3D cuboid wireframes)
         if cfg.VIS_PERIOD > 0 and it % cfg.VIS_PERIOD == 0:
             try:
-                _dump_train_vis(cfg, batch, it)
+                _dump_train_vis(cfg, batch, it, model=model, state=state,
+                                eval_step_cache=vis_eval_step)
             except Exception as e:  # vis must never kill training
                 logger.warning("train vis failed: %s", e)
 
@@ -256,22 +264,58 @@ def do_train(cfg, args, records, loaders, num_classes):
     return state
 
 
-def _dump_train_vis(cfg, batch, it):
-    """GT-overlay snapshot of the first batch image (vis/, CPU-side)."""
+def _dump_train_vis(cfg, batch, it, model=None, state=None,
+                    eval_step_cache=None):
+    """Training-time snapshots of the first batch image (vis/, CPU-side):
+    GT 2D boxes, plus — when the model/state are provided — GT-vs-predicted
+    3D cuboid wireframes side by side (reference visualize_training,
+    rcnn3d.py:126-263 storage.put_image panels)."""
     import numpy as np
-    from weakcube_tpu.vis.vis import draw_boxes_2d
+    from weakcube_tpu.vis.vis import draw_boxes_2d, draw_scene_view
     from weakcube_tpu.utils.util import imwrite
     img = np.asarray(batch["image"][0])
     img = img * np.asarray(cfg.MODEL.PIXEL_STD) + np.asarray(cfg.MODEL.PIXEL_MEAN)
     if cfg.INPUT.FORMAT == "BGR":
         img = img[..., ::-1]
+    img = np.clip(img, 0, 255)
     gt = batch["gt"]
     valid = np.asarray(gt.valid[0])
     boxes = np.asarray(gt.boxes[0])[valid]
-    out = draw_boxes_2d(np.clip(img, 0, 255), boxes)
+    out = draw_boxes_2d(img, boxes)
     vis_dir = os.path.join(cfg.OUTPUT_DIR, "vis")
     os.makedirs(vis_dir, exist_ok=True)
     imwrite(os.path.join(vis_dir, f"iter_{it:06d}_gt.jpg"), out)
+
+    if model is None or state is None:
+        return
+    # ---- GT vs predicted 3D cuboids (one image, current params) ----------
+    from weakcube_tpu.parallel.train_step import make_eval_step
+    if eval_step_cache is not None:
+        if eval_step_cache[0] is None:
+            eval_step_cache[0] = make_eval_step(model)
+        eval_step = eval_step_cache[0]
+    else:
+        eval_step = make_eval_step(model)
+    model_batch = {k: batch[k] for k in
+                   ("image", "image_wh", "K", "gt", "depth_map",
+                    "ground_mask", "ground_valid") if k in batch}
+    det = eval_step(state.params, state.batch_stats, model_batch)
+
+    K0 = np.asarray(batch["K"][0])
+    # GT panel: boxes3D layout [proj_cx, proj_cy, z, w, h, l, x3d, y3d, z3d]
+    g3d = np.asarray(gt.boxes3D[0])[valid]
+    gposes = np.asarray(gt.poses[0])[valid]
+    gt_front, _ = draw_scene_view(img, K0, g3d[:, 6:9], g3d[:, 3:6], gposes)
+    # predicted panel: top detections after the head's NMS
+    dvalid = np.asarray(det.valid[0])
+    order = np.argsort(-np.asarray(det.scores3D[0]))[:20]
+    keep = order[dvalid[order]]
+    pr_front, _ = draw_scene_view(
+        img, K0, np.asarray(det.centers3D[0])[keep],
+        np.asarray(det.dims3D[0])[keep], np.asarray(det.poses3D[0])[keep],
+        labels=[f"{s:.2f}" for s in np.asarray(det.scores3D[0])[keep]])
+    panel = np.concatenate([gt_front, pr_front], axis=1)
+    imwrite(os.path.join(vis_dir, f"iter_{it:06d}_gt_vs_pred_3d.jpg"), panel)
 
 
 def main(argv=None):
@@ -282,6 +326,11 @@ def main(argv=None):
     import jax
     if os.environ.get("WEAKCUBE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["WEAKCUBE_PLATFORM"])
+    # multi-host entry (reference launch(num_machines=...), train_net.py:
+    # 529-536): WEAKCUBE_MULTIHOST/WEAKCUBE_COORDINATOR spans jax.devices()
+    # across hosts; the data mesh + shardings below scale unchanged
+    from weakcube_tpu.parallel import maybe_initialize_distributed
+    maybe_initialize_distributed()
     # persistent compilation cache: the big train graphs take minutes to
     # compile; cache hits make restarts/retries instant
     try:

@@ -241,5 +241,8 @@ def build_default_cfg() -> CfgNode:
     # AspectRatioGroupedDataset)
     c.TPU.ASPECT_BUCKETS = []
     c.TPU.COMPUTE_DTYPE = "bfloat16"
+    # pose_ground: fit the (static pseudo-GT) ground plane ONCE per image in
+    # the data pipeline instead of 1000-hypothesis RANSAC in every step
+    c.TPU.CACHE_GROUND_NORMALS = True
     c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
     return c

@@ -31,12 +31,13 @@ def pad_batch(examples: List[Dict]) -> Dict:
             valid=stack("gt_valid"), boxes3D=stack("gt_boxes3D"),
             poses=stack("gt_poses")),
     }
-    for opt in ("depth_map", "ground_mask"):
+    for opt in ("depth_map", "ground_mask", "ground_normal"):
         if opt in examples[0]:
             batch[opt] = stack(opt)
-    if "ground_valid" in examples[0]:
-        batch["ground_valid"] = jnp.asarray(
-            np.asarray([e["ground_valid"] for e in examples]))
+    for opt in ("ground_valid", "ground_normal_valid"):
+        if opt in examples[0]:
+            batch[opt] = jnp.asarray(
+                np.asarray([e[opt] for e in examples]))
     batch["image_id"] = np.asarray([e["image_id"] for e in examples])
     batch["scale"] = np.asarray([e["scale"] for e in examples], np.float32)
     return batch

@@ -128,6 +128,7 @@ def load_omni3d_json(json_file: str, image_root: str, dataset_name: str,
             "file_name": os.path.join(image_root, img.get("file_path", img.get("file_name", ""))),
             "image_id": img["id"],
             "dataset_id": img.get("dataset_id", 0),
+            "dataset_name": dataset_name,
             "width": img["width"],
             "height": img["height"],
             "K": img["K"],

@@ -12,8 +12,9 @@ Methods here:
     over the mesh) and mark its inliers as ground. Requires depth maps
     (run generate_depth_maps first). Produces the same artefact format.
   * --method foundation: GroundingDINO + SAM JAX graphs (architectures in
-    pseudo_gt/, pipeline in foundation_ground_mask()); needs converted
-    checkpoints, which this sealed environment cannot fetch.
+    pseudo_gt/, pipeline in foundation_ground_mask()); pass the released
+    .pth checkpoints via --gdino-ckpt/--sam-ckpt — converted on the fly
+    (this sealed environment cannot fetch them; pre-place the files).
 """
 from __future__ import annotations
 
@@ -57,31 +58,49 @@ def ground_from_depth_ransac(depth: np.ndarray, K: np.ndarray,
     return mask
 
 
+def _default_image_loader(record):
+    from PIL import Image
+    return np.asarray(Image.open(record["file_name"]).convert("RGB"))
+
+
 def generate(records: Sequence[Dict], out_dir: str, depth_dir: str,
              method: str = "depth-ransac", artifacts_root: str = "datasets",
-             depth_loader=None) -> None:
+             depth_loader=None, foundation_models=None, image_loader=None,
+             box_threshold: float = None, gdino_side: int = 768) -> None:
+    """foundation_models: (gdino, gdino_params, sam, sam_params) — required
+    for --method foundation (see load_foundation_models)."""
     import jax
     os.makedirs(out_dir, exist_ok=True)
     no_ground = []
     key = jax.random.PRNGKey(0)
+    if method == "foundation":
+        if foundation_models is None:
+            raise ValueError(
+                "foundation method needs converted GroundingDINO/SAM "
+                "checkpoints: pass --gdino-ckpt/--sam-ckpt (reference "
+                "generate_ground_segmentations.py:137-191)")
+        gdino, gdino_params, sam, sam_params = foundation_models
+        image_loader = image_loader or _default_image_loader
     for i, r in enumerate(records):
-        if depth_loader is not None:
-            depth = depth_loader(r)
+        if method == "foundation":
+            image = image_loader(r)
+            mask = foundation_ground_mask(
+                gdino, gdino_params, sam, sam_params, image,
+                box_threshold=(BOX_THRESHOLD if box_threshold is None
+                               else box_threshold),
+                gdino_side=gdino_side)
         else:
-            dp = os.path.join(depth_dir, f"{r['image_id']}.npz")
-            if not os.path.exists(dp):
-                no_ground.append(r["image_id"])
-                continue
-            with np.load(dp) as zf:
-                depth = zf[list(zf.keys())[0]].astype(np.float32)
-        if method == "depth-ransac":
+            if depth_loader is not None:
+                depth = depth_loader(r)
+            else:
+                dp = os.path.join(depth_dir, f"{r['image_id']}.npz")
+                if not os.path.exists(dp):
+                    no_ground.append(r["image_id"])
+                    continue
+                with np.load(dp) as zf:
+                    depth = zf[list(zf.keys())[0]].astype(np.float32)
             mask = ground_from_depth_ransac(
                 depth, np.asarray(r["K"], np.float32), jax.random.fold_in(key, i))
-        else:
-            raise NotImplementedError(
-                "foundation method requires converted GroundingDINO/SAM "
-                "checkpoints; see foundation_ground_mask() and use "
-                "--method depth-ransac meanwhile")
         if mask.sum() < MIN_MASK_PX:
             no_ground.append(r["image_id"])
             continue
@@ -103,14 +122,29 @@ def main(argv=None):
     p.add_argument("--depth-dir", default="datasets/depth_maps")
     p.add_argument("--out", default="datasets/ground_maps")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--gdino-ckpt", default=None,
+                   help="groundingdino_swint_ogc.pth (foundation method)")
+    p.add_argument("--sam-ckpt", default=None,
+                   help="sam_hq_vit_*.pth (foundation method)")
+    p.add_argument("--sam-variant", default="vit_l",
+                   choices=["vit_b", "vit_l", "vit_h"])
     args = p.parse_args(argv)
+
+    foundation_models = None
+    if args.method == "foundation":
+        if not (args.gdino_ckpt and args.sam_ckpt):
+            p.error("--method foundation requires --gdino-ckpt and --sam-ckpt")
+        foundation_models = load_foundation_models(
+            args.gdino_ckpt, args.sam_ckpt, args.sam_variant)
 
     if args.synthetic:
         from . import synthetic
         records = synthetic.make_dataset(args.synthetic)
         loader = lambda r: synthetic.render_depth(r["_scene"])
         generate(records, args.out, args.depth_dir, args.method,
-                 depth_loader=loader)
+                 depth_loader=loader,
+                 foundation_models=foundation_models,
+                 image_loader=lambda r: synthetic.render_image(r["_scene"]))
         return
     from weakcube_tpu.config import get_cfg
     from . import datasets as ds
@@ -122,7 +156,8 @@ def main(argv=None):
         if name not in ds.DATASET_CATALOG:
             ds.simple_register(name, fs)
         records.extend(ds.DATASET_CATALOG[name]())
-    generate(records, args.out, args.depth_dir, args.method)
+    generate(records, args.out, args.depth_dir, args.method,
+             foundation_models=foundation_models)
 
 
 if __name__ == "__main__":
@@ -140,12 +175,31 @@ BOX_THRESHOLD = 0.35   # reference thresholds (:157-164)
 TEXT_THRESHOLD = 0.25
 
 
+def load_foundation_models(gdino_ckpt: str, sam_ckpt: str,
+                           sam_variant: str = "vit_l"):
+    """Released .pth checkpoints -> (gdino, gdino_params, sam, sam_params).
+    groundingdino_swint_ogc.pth + sam_hq_vit_*.pth, converted on the fly
+    (reference generate_ground_segmentations.py:24-43 model setup)."""
+    from .pseudo_gt import grounding_dino as gd
+    from .pseudo_gt import sam as sam_mod
+    from ..utils.torch_convert import load_pth
+
+    gdino = gd.GroundingDINO()
+    gdino_params = gd.convert_torch_checkpoint(load_pth(gdino_ckpt))
+    sam = sam_mod.Sam(variant=sam_variant, hq=True)
+    sam_params = sam_mod.convert_torch_checkpoint(
+        load_pth(sam_ckpt), variant=sam_variant, hq=True)
+    return gdino, gdino_params, sam, sam_params
+
+
 def foundation_ground_mask(gdino, gdino_params, sam, sam_params,
-                           image: np.ndarray) -> np.ndarray:
+                           image: np.ndarray,
+                           box_threshold: float = BOX_THRESHOLD,
+                           gdino_side: int = 768) -> np.ndarray:
     """One image through GroundingDINO("ground") -> max-logit box -> SAM.
 
     Mirrors the reference pipeline (:137-191): take the highest-scoring
-    grounded box above BOX_THRESHOLD, prompt SAM with it, return the mask
+    grounded box above box_threshold, prompt SAM with it, return the mask
     at the original resolution (empty mask when no box clears threshold).
     """
     import jax
@@ -158,7 +212,7 @@ def foundation_ground_mask(gdino, gdino_params, sam, sam_params,
     from PIL import Image
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
-    side = 768
+    side = gdino_side
     g_in = np.asarray(Image.fromarray(image.astype(np.uint8))
                       .resize((side, side), Image.BILINEAR), np.float32) / 255.0
     g_in = ((g_in - mean) / std)[None]
@@ -167,7 +221,7 @@ def foundation_ground_mask(gdino, gdino_params, sam, sam_params,
     boxes, scores = predict_ground_boxes(gdino, gdino_params,
                                          jnp.asarray(g_in), tokens, tmask)
     best = int(jnp.argmax(scores[0]))
-    if float(scores[0, best]) < BOX_THRESHOLD:
+    if float(scores[0, best]) < box_threshold:
         return np.zeros((H, W), bool)
     cx, cy, bw, bh = np.asarray(boxes[0, best])
     # cxcywh normalised -> XYXY in SAM 1024-space (scaled by longest side)

@@ -65,6 +65,9 @@ class DatasetMapper3D:
         if isinstance(sizes, (int, float)):
             sizes = (sizes,)
         self.min_sizes = tuple(sizes)
+        self.cache_ground_normals = bool(
+            getattr(cfg.TPU, "CACHE_GROUND_NORMALS", True))
+        self._normal_cache: Dict = {}
 
     def __call__(self, record: Dict, rng: Optional[np.random.Generator] = None,
                  image: Optional[np.ndarray] = None,
@@ -158,4 +161,21 @@ class DatasetMapper3D:
             gm[:net_h, :net_w] = g[:, ::-1] if flip else g
             out["ground_mask"] = gm
             out["ground_valid"] = bool(g.sum() > 0)
+        if depth_map is not None and self.cache_ground_normals:
+            # ground plane normal cached per image: the pseudo-GT depth/
+            # ground maps are static, so the pose_ground RANSAC result is
+            # too — computing it once here removes the 1000-hypothesis
+            # RANSAC from every train step (roi_heads.ground_normals_from
+            # _maps). Horizontal flip mirrors camera x -> negate n_x.
+            iid = record.get("image_id", 0)
+            hit = self._normal_cache.get(iid)
+            if hit is None:
+                from ..ops.plane import ground_normal_np
+                hit = ground_normal_np(depth_map, record["K"], ground_map)
+                self._normal_cache[iid] = hit
+            n, ok = hit
+            out["ground_normal"] = (n * np.array([-1.0, 1.0, 1.0], np.float32)
+                                    if flip else n.copy())
+            out["ground_normal_valid"] = bool(
+                ok and (ground_map is None or out.get("ground_valid", True)))
         return out

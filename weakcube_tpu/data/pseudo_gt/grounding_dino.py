@@ -455,10 +455,17 @@ class GroundingDINO(nn.Module):
         txt768 = BertEncoder(dtype=self.dtype, name="bert")(
             token_ids, self_mask, position_ids)
         txt = nn.Dense(D_MODEL, dtype=self.dtype, name="text_proj")(txt768)
-        # sine embedding of the raw token index (get_sine_pos_embed)
-        txt_pos = sine_embed_1d(
-            jnp.arange(token_ids.shape[1], dtype=jnp.float32),
-            D_MODEL)[None].astype(self.dtype)
+        # get_sine_pos_embed of the per-phrase restarting position ids when
+        # provided (the official TransformerEncoder always receives them via
+        # generate_masks_with_special_tokens_and_transfer_map); raw token
+        # index only as the no-position_ids fallback.
+        if position_ids is not None:
+            txt_pos = sine_embed_1d(position_ids.astype(jnp.float32),
+                                    D_MODEL).astype(self.dtype)
+        else:
+            txt_pos = sine_embed_1d(
+                jnp.arange(token_ids.shape[1], dtype=jnp.float32),
+                D_MODEL)[None].astype(self.dtype)
 
         # ---- feature enhancer ---------------------------------------------
         img = flat

@@ -278,13 +278,16 @@ class Omni3DEvaluator:
         self.gt: List[Dict] = []
         self._seen = set()
 
-    def add(self, dt_record: Dict, gt_record: Dict):
+    def add(self, dt_record: Dict, gt_record: Dict) -> bool:
+        """Returns True iff the record was accepted (padded duplicate batches
+        repeat their last image; duplicates are silently dropped)."""
         iid = dt_record["image_id"]
         if iid in self._seen:  # padded duplicate batches
-            return
+            return False
         self._seen.add(iid)
         self.dt.append(dt_record)
         self.gt.append(gt_record)
+        return True
 
     def summarize(self) -> Dict:
         out = {}
@@ -325,8 +328,9 @@ class Omni3DEvaluationHelper:
             self.evaluators[name] = Omni3DEvaluator(
                 num_classes, proximity=prox, class_names=class_names)
 
-    def add_predictions(self, dataset: str, dt_record: Dict, gt_record: Dict):
-        self.evaluators[dataset].add(dt_record, gt_record)
+    def add_predictions(self, dataset: str, dt_record: Dict,
+                        gt_record: Dict) -> bool:
+        return self.evaluators[dataset].add(dt_record, gt_record)
 
     def save_predictions(self, dataset: str):
         if not self.output_folder:
@@ -370,8 +374,16 @@ class Omni3DEvaluationHelper:
         if pooled_dt:
             res2d = evaluate_detections(pooled_dt, pooled_gt, self.num_classes, "2D")
             overall["AP2D"] = res2d["AP"]
+            overall["per_class_2D"] = res2d["per_class"]
             if pooled_gt and "corners3D" in pooled_gt[0]:
                 res3d = evaluate_detections(pooled_dt, pooled_gt,
                                             self.num_classes, "3D")
                 overall["AP3D"] = res3d["AP"]
+                overall["per_class_3D"] = res3d["per_class"]
+                for k in ("AP15", "AP25", "AP50"):
+                    if k in res3d:
+                        overall[f"AP3D@{k[2:]}"] = res3d[k]
+                for k in ("AP_near", "AP_medium", "AP_far"):
+                    if k in res3d:
+                        overall[k] = res3d[k]
         return {"per_dataset": self.results, "overall": overall}

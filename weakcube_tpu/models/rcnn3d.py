@@ -117,7 +117,7 @@ class RCNN3D(RCNN3DBase):
         if train:
             losses, metrics = self.roi_heads(
                 feats, proposals, batch["gt"], batch["K"], batch["image_wh"],
-                train=True, rng=r2)
+                train=True, rng=r2, metrics_tick=batch.get("metrics_tick"))
             losses.update(rpn_loss)
             return losses, metrics
         return self.roi_heads(feats, proposals, None, batch["K"],
@@ -148,8 +148,10 @@ class RCNN3DCombinedFeatures(RCNN3DBase):
                 depth_maps=batch.get("depth_map"),
                 ground_masks=batch.get("ground_mask"),
                 ground_valid=batch.get("ground_valid"),
+                ground_normals=batch.get("ground_normal"),
+                ground_normal_valid=batch.get("ground_normal_valid"),
                 instance_masks=batch.get("instance_masks"),
-                train=True, rng=r2)
+                train=True, rng=r2, metrics_tick=batch.get("metrics_tick"))
             losses.update(rpn_loss)
             return losses, metrics
         return self.roi_heads(feats, proposals, None, batch["K"],

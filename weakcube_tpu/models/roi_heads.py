@@ -103,6 +103,39 @@ def gather_gt(gt_field: jnp.ndarray, gt_idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda f, i: f[i])(gt_field, gt_idx)
 
 
+def iou3d_train_metric(dec: "CubeDecode", gt: GroundTruth, rois, K,
+                       fg: jnp.ndarray,
+                       tick: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact matched IoU3D between GT cubes and the decoded predictions at
+    the sampled foreground RoIs — the reference's `Cube/IoU3D` training
+    scalar (roi_heads.py:936-945, logged every 200 iters "because it is
+    slow"). Ours is slow for the same reason at recipe scale (~135 ms for
+    25x128 pairs of sequential polytope clipping on a v5e), so `tick`
+    preserves the every-200 gating: a traced bool (train_step derives it
+    from state.step); when False the lax.cond skips the compute and the
+    metric reads NaN for that step. tick=None computes unconditionally
+    (tests/small batches). Requires gt.boxes3D/gt.poses (zero-filled on
+    datasets without 3D GT, where the metric reads 0)."""
+    from ..ops import iou3d
+
+    def compute():
+        g3d = gather_gt(gt.boxes3D, rois.gt_idx)
+        gposes = gather_gt(gt.poses, rois.gt_idx)
+        gt_ctr = cuboids.backproject(g3d[..., 0:2], g3d[..., 2], K[:, None])
+        gt_corners = cuboids.get_cuboid_verts_3d(
+            jnp.concatenate([gt_ctr, g3d[..., 3:6]], -1), gposes)
+        pred_corners = dec.cubes.corners()
+        B, S = fg.shape
+        iou = iou3d.matched_iou3d(gt_corners.reshape(B * S, 8, 3),
+                                  pred_corners.reshape(B * S, 8, 3)).reshape(B, S)
+        return loss_ops.masked_mean(iou, fg)
+
+    if tick is None:
+        return jax.lax.stop_gradient(compute())
+    return jax.lax.stop_gradient(
+        jax.lax.cond(tick, compute, lambda: jnp.float32(jnp.nan)))
+
+
 # ===========================================================================
 # shared cube decode
 # ===========================================================================
@@ -631,8 +664,10 @@ class ROIHeads3DScore(ROIHeadsCommon):
 
     def __call__(self, features, proposals: Proposals, gt: GroundTruth,
                  K, image_wh, depth_maps=None, ground_masks=None,
-                 ground_valid=None, instance_masks=None, train: bool = False,
-                 rng: Optional[jax.Array] = None):
+                 ground_valid=None, ground_normals=None,
+                 ground_normal_valid=None, instance_masks=None,
+                 train: bool = False,
+                 rng: Optional[jax.Array] = None, metrics_tick=None):
         if not train:
             det, _ = self.forward_box_inference(features, proposals, image_wh)
             ratio = jnp.ones((det.boxes.shape[0],))
@@ -681,12 +716,22 @@ class ROIHeads3DScore(ROIHeadsCommon):
             weights["Cube/loss_pose"] = rc.LOSS_W_POSE
 
         if ("pose_ground" in loss_fns or "pose_ground2" in loss_fns) \
-                and depth_maps is not None:
-            gm = ground_masks if ground_masks is not None else \
-                jnp.ones_like(depth_maps, dtype=bool)
-            gv = ground_valid if ground_valid is not None else \
-                jnp.ones((depth_maps.shape[0],), dtype=bool)
-            normals = ground_normals_from_maps(k_ransac, depth_maps, gm, gv, K=K)
+                and (depth_maps is not None or ground_normals is not None):
+            if ground_normals is not None:
+                # pre-fitted per-image plane normal from the data pipeline
+                # (TPU.CACHE_GROUND_NORMALS): the pseudo-GT depth/ground
+                # maps are static, so the RANSAC below would recompute the
+                # same plane every step
+                normals = ground_normals
+                gv = ground_normal_valid if ground_normal_valid is not None \
+                    else jnp.ones((normals.shape[0],), dtype=bool)
+            else:
+                gm = ground_masks if ground_masks is not None else \
+                    jnp.ones_like(depth_maps, dtype=bool)
+                gv = ground_valid if ground_valid is not None else \
+                    jnp.ones((depth_maps.shape[0],), dtype=bool)
+                normals = ground_normals_from_maps(k_ransac, depth_maps, gm,
+                                                   gv, K=K)
             normals = jax.lax.stop_gradient(normals)
             conf = jnp.where(gv, 1.0, 0.1)[:, None]
             if "pose_ground" in loss_fns:
@@ -735,6 +780,8 @@ class ROIHeads3DScore(ROIHeadsCommon):
         metrics = {
             "Cube/2D_IoU": loss_ops.masked_mean(
                 box_ops.elementwise_iou(gt_boxes_m, proj_boxes), fg),
+            "Cube/IoU3D": iou3d_train_metric(dec, gt, rois, K, fg,
+                                             tick=metrics_tick),
             "roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0],
             "roi_head/num_bg_samples": jnp.sum(rois.valid & ~rois.fg) / fg.shape[0],
         }
@@ -749,7 +796,7 @@ class ROIHeads3D(ROIHeadsCommon):
 
     def __call__(self, features, proposals: Proposals, gt: GroundTruth,
                  K, image_wh, train: bool = False,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, metrics_tick=None):
         if not train:
             det, _ = self.forward_box_inference(features, proposals, image_wh)
             ratio = jnp.ones((det.boxes.shape[0],))
@@ -870,6 +917,8 @@ class ROIHeads3D(ROIHeadsCommon):
             "Cube/z_error": loss_ops.masked_mean(jnp.abs(dec.z - gt_z), fg),
             "Cube/dims_error": loss_ops.masked_mean(
                 jnp.abs(dec.dims - gt_dims).mean(-1), fg),
+            "Cube/IoU3D": iou3d_train_metric(dec, gt, rois, K, fg,
+                                             tick=metrics_tick),
             "roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0],
         }
         return losses, metrics

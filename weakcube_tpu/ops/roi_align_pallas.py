@@ -493,8 +493,19 @@ def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
     # for shapes where it may win (few, disjoint RoIs).
     import os
     if os.environ.get("WEAKCUBE_PALLAS_BWD"):
-        return _ra_bwd_pallas(strides, output_size, sampling_ratio,
-                              min_level, res, g)
+        # VMEM budget guard: the RMW kernel stages an fp32 (window+8,
+        # window*C) scratch; at window=128 with FPN C=256 that is ~17.8 MB,
+        # over the ~16 MB VMEM budget, and the pallas_call fails to compile.
+        # Inputs that large only arise through the public API (train images
+        # are capped well below the 128-window threshold) — fall back to the
+        # XLA scatter plan instead of erroring.
+        _, features_tuple = res
+        feat_hw = [(f.shape[1], f.shape[2]) for f in features_tuple]
+        C = features_tuple[0].shape[-1]
+        window = _auto_window(feat_hw)
+        if (window + 8) * window * C * 4 <= 14 * 1024 * 1024:
+            return _ra_bwd_pallas(strides, output_size, sampling_ratio,
+                                  min_level, res, g)
     return _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level,
                            res, g)
 

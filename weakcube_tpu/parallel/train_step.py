@@ -65,6 +65,11 @@ def make_train_step(model, tx, remat: bool = False) -> Callable:
     """
 
     def step_fn(state: TrainState, batch, rng):
+        # expensive diagnostics (exact IoU3D) run every 200th step only
+        # (reference roi_heads.py:936-945 "log 3d iou less frequently
+        # because it is slow"); a traced bool so no recompile across steps
+        batch = dict(batch, metrics_tick=(state.step % 200 == 0))
+
         def fwd(params):
             return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

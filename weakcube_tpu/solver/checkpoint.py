@@ -60,3 +60,26 @@ def load_weights_pretrain(path: str, params: Any) -> Any:
     if isinstance(restored, dict) and "params" in restored:
         return restored["params"]
     return restored
+
+
+def load_model_weights(src: str, cfg) -> tuple:
+    """`cfg.MODEL.WEIGHTS` resolution — the reference's
+    `DetectionCheckpointer.resume_or_load(cfg.MODEL.WEIGHTS)` semantics
+    (reference tools/train_net.py:149-155): evaluate or warm-start from any
+    named checkpoint. Accepts
+      * ``cubercnn://...`` zoo URIs (resolved via utils.model_zoo, cached),
+      * released detectron2 ``.pth`` files (converted on the fly),
+      * orbax checkpoint directories (full TrainState or weights-only).
+    Returns ``(params, batch_stats)``.
+    """
+    if src.startswith("cubercnn://"):
+        from weakcube_tpu.utils.model_zoo import resolve
+        src = resolve(src)
+    if src.endswith(".pth"):
+        from weakcube_tpu.utils.torch_convert import load_pth
+        from weakcube_tpu.utils.zoo_convert import convert_zoo_checkpoint
+        return convert_zoo_checkpoint(load_pth(src), cfg)
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(src))
+    if isinstance(restored, dict) and "params" in restored:
+        return restored["params"], restored.get("batch_stats", {}) or {}
+    return restored, {}
