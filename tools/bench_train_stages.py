@@ -61,7 +61,12 @@ def build(cfg_overrides=None, G=16):
                                      "configs", "Omni_combined.yaml"))
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.USE_PALLAS_ROI_ALIGN = True
-    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 1
+    # default POOLER_SAMPLING_RATIO (0 -> static 2) so the stages decompose
+    # the same graph bench.py's weakcube_train_step_recipe measures; override
+    # via BENCH_TRAIN_SR when comparing sampling ratios
+    if os.environ.get("BENCH_TRAIN_SR"):
+        cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = int(
+            os.environ["BENCH_TRAIN_SR"])
     cfg.TPU.IMAGE_SIZE = S
     if cfg_overrides:
         for k, v in cfg_overrides.items():

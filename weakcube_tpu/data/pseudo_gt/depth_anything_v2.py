@@ -34,6 +34,36 @@ TAP_LAYERS = {"vits": (2, 5, 8, 11), "vitb": (2, 5, 8, 11),
               "vitl": (4, 11, 17, 23)}
 
 
+def _fused_sdpa(q, k, v, scale):
+    """Pallas flash attention on TPU (never materialises the (N, N) score
+    matrix — at DAv2-L scale that matrix is ~1.9 GB/layer of HBM traffic,
+    the main non-matmul cost of the encoder). Sequence is padded to a
+    block multiple with SegmentIds masking; padded rows are sliced off.
+    Falls back to the unfused einsum path off-TPU (tests run on CPU)."""
+    B, H, N, d = q.shape
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            raise RuntimeError("not on tpu")
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        blk = 512
+        Np = -(-N // blk) * blk
+        pad = Np - N
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        out = flash_attention(qp, kp, vp,
+                              segment_ids=SegmentIds(q=seg, kv=seg),
+                              causal=False, sm_scale=scale)
+        return out[:, :, :N]
+    except Exception:
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
 class Attention(nn.Module):
     dim: int
     heads: int
@@ -47,10 +77,7 @@ class Attention(nn.Module):
                             .transpose(2, 0, 3, 1, 4), 3, axis=0)
         q, k, v = q[0], k[0], v[0]                       # (B, H, N, d)
         scale = (D // self.heads) ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = _fused_sdpa(q, k, v, scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

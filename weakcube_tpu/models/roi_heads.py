@@ -103,6 +103,22 @@ def gather_gt(gt_field: jnp.ndarray, gt_idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda f, i: f[i])(gt_field, gt_idx)
 
 
+def fg_prefix_rois(rois: SampledRois, positive_fraction: float) -> SampledRois:
+    """Static slice to the slots that can hold foreground.
+
+    `label_and_sample_proposals` packs chosen fg RoIs into the leading
+    slots and `sample_fg_bg` caps their count at
+    int(S * positive_fraction), so rois[:, :cap] contains EVERY fg RoI —
+    the static-shape equivalent of detectron2's
+    `select_foreground_proposals` (reference roi_heads.py:714, 1632),
+    which restricts the cube branch to fg instances only."""
+    S = rois.boxes.shape[1]
+    cap = max(int(S * positive_fraction), 1)
+    if cap >= S:
+        return rois
+    return jax.tree_util.tree_map(lambda x: x[:, :cap], rois)
+
+
 def iou3d_train_metric(dec: "CubeDecode", gt: GroundTruth, rois, K,
                        fg: jnp.ndarray,
                        tick: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -688,12 +704,21 @@ class ROIHeads3DScore(ROIHeadsCommon):
 
         losses, pred_boxes, _, _ = self.forward_box_train(features, rois, gt)
 
-        fg = rois.fg & rois.valid
+        all_fg = rois.fg & rois.valid
         if rc.LOSS_W_3D == 0:
             # 2D-only pretraining (Base_Omni3D_2D_only.yaml): the cube
             # branch contributes nothing — skip its compute entirely
-            metrics = {"roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0]}
+            metrics = {"roi_head/num_fg_samples": jnp.sum(all_fg) / all_fg.shape[0]}
             return losses, metrics
+        # the cube branch runs on FOREGROUND proposals only (reference
+        # select_foreground_proposals, roi_heads.py:714). The sampler packs
+        # fg into the leading slots and caps their count at
+        # positive_fraction * batch_size_per_image, so slicing that static
+        # prefix is exact — and cuts the cube pooler/head/loss work ~4x at
+        # the default 0.25 fraction (ROIAlign backward dominates the step)
+        num_bg = jnp.sum(rois.valid & ~rois.fg) / all_fg.shape[0]
+        rois = fg_prefix_rois(rois, cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION)
+        fg = rois.fg & rois.valid
         dec = self.run_cube_head(features, rois.boxes, rois.classes, K)
 
         gt_boxes_m = gather_gt(gt.boxes, rois.gt_idx)
@@ -782,8 +807,8 @@ class ROIHeads3DScore(ROIHeadsCommon):
                 box_ops.elementwise_iou(gt_boxes_m, proj_boxes), fg),
             "Cube/IoU3D": iou3d_train_metric(dec, gt, rois, K, fg,
                                              tick=metrics_tick),
-            "roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0],
-            "roi_head/num_bg_samples": jnp.sum(rois.valid & ~rois.fg) / fg.shape[0],
+            "roi_head/num_fg_samples": jnp.sum(all_fg) / all_fg.shape[0],
+            "roi_head/num_bg_samples": num_bg,
         }
         return losses, metrics
 
@@ -813,10 +838,15 @@ class ROIHeads3D(ROIHeadsCommon):
             cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT)
 
         losses, pred_boxes, _, _ = self.forward_box_train(features, rois, gt)
-        fg = rois.fg & rois.valid
+        all_fg = rois.fg & rois.valid
         if rc.LOSS_W_3D == 0:
-            metrics = {"roi_head/num_fg_samples": jnp.sum(fg) / fg.shape[0]}
+            metrics = {"roi_head/num_fg_samples": jnp.sum(all_fg) / all_fg.shape[0]}
             return losses, metrics
+        # cube branch on fg-capable slots only (reference
+        # select_foreground_proposals, roi_heads.py:1632) — see
+        # fg_prefix_rois
+        rois = fg_prefix_rois(rois, cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION)
+        fg = rois.fg & rois.valid
         dec = self.run_cube_head(features, rois.boxes, rois.classes, K)
 
         # GT quantities (gt_boxes3D layout: proj_cx, proj_cy, z, w, h, l, 3d ctr)
