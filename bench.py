@@ -86,7 +86,7 @@ def bench_train(rtt):
                                      "configs", "Omni_combined.yaml"))
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.IMAGE_SIZE = S
-    cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = not os.environ.get("BENCH_TRAIN_NO_PALLAS")
     cfg.freeze()
 
     priors = {"priors_dims_per_cat": np.tile(
@@ -114,18 +114,6 @@ def bench_train(rtt):
     batch = shard_batch(batch, mesh)
     step = make_train_step(model, tx)
 
-    # MFU numerator: analytical flops of the compiled step graph
-    flops = None
-    try:
-        lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
-            state, batch, jax.random.fold_in(rng, 2))
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # pragma: no cover - backend-specific
-        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
-
     t0 = time.perf_counter()
     state, logs = step(state, batch, jax.random.fold_in(rng, 2))
     _ = float(logs["total_loss"])
@@ -140,6 +128,22 @@ def bench_train(rtt):
 
     sec = _timed_scalar(lambda i: one(i), rtt, 10)
     ips = B / sec
+
+    # MFU numerator: analytical flops of the compiled step graph. Runs
+    # LAST (it AOT-compiles a second executable, which once crashed the
+    # remote TPU worker — the throughput number must already be banked)
+    # and can be disabled outright with BENCH_SKIP_COST=1.
+    flops = None
+    if not os.environ.get("BENCH_SKIP_COST"):
+        try:
+            lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
+                cell["s"], batch, jax.random.fold_in(rng, 2))
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
     mfu = (flops / sec / PEAK_FLOPS) if flops else None
     print(f"# train step {sec * 1e3:.0f}ms  flops {flops and flops / 1e12}T  "
           f"MFU {mfu and round(100 * mfu, 1)}%", file=sys.stderr)
