@@ -86,7 +86,14 @@ def bench_train(rtt):
                                      "configs", "Omni_combined.yaml"))
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.IMAGE_SIZE = S
-    cfg.TPU.USE_PALLAS_ROI_ALIGN = not os.environ.get("BENCH_TRAIN_NO_PALLAS")
+    # Pallas ROIAlign inside the TRAIN graph reproducibly crashes the remote
+    # TPU worker (bisected 2026-08-20: no-Pallas train runs clean at 689 ms/
+    # step, the identical bench with USE_PALLAS_ROI_ALIGN=True dies at first
+    # step with "TPU worker process crashed ... kernel fault"; inference-only
+    # Pallas is fine). Default the train bench to the pure-XLA trainable path
+    # (gather forward + windowed-scatter backward); BENCH_TRAIN_PALLAS=1
+    # re-enables for re-testing on newer libtpu.
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = bool(os.environ.get("BENCH_TRAIN_PALLAS"))
     cfg.freeze()
 
     priors = {"priors_dims_per_cat": np.tile(
@@ -256,19 +263,46 @@ def bench_inference(rtt):
     }))
 
 
+def _wait_for_worker(max_wait_s: float = 900.0) -> bool:
+    """After a TPU worker crash, poll a trivial kernel until the worker is
+    back (it restarts in ~5-15 min). Keeps the later stages — above all the
+    headline inference line — alive even if an earlier stage kills the
+    worker."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            if float(jax.jit(lambda x: x + 1.0)(jnp.zeros(()))) == 1.0:
+                print(f"# TPU worker back after {time.time() - t0:.0f}s",
+                      file=sys.stderr)
+                return True
+        except Exception:
+            pass
+        time.sleep(30)
+    print("# TPU worker did not recover in time", file=sys.stderr)
+    return False
+
+
+def _run_stage(fn, name, rtt):
+    try:
+        fn(rtt)
+        return True
+    except Exception as e:
+        print(f"# {name} bench failed: {e!r}", file=sys.stderr)
+        msg = str(e)
+        if "worker process crashed" in msg or "UNAVAILABLE" in msg:
+            _wait_for_worker()
+        return False
+
+
 def main():
     rtt = _measure_rtt()
     if not os.environ.get("BENCH_SKIP_TRAIN"):
-        try:
-            bench_train(rtt)
-        except Exception as e:
-            print(f"# train bench failed: {e!r}", file=sys.stderr)
+        _run_stage(bench_train, "train", rtt)
     if not os.environ.get("BENCH_SKIP_DEPTH"):
-        try:
-            bench_depth(rtt)
-        except Exception as e:
-            print(f"# depth bench failed: {e!r}", file=sys.stderr)
-    bench_inference(rtt)
+        _run_stage(bench_depth, "depth", rtt)
+    _run_stage(bench_inference, "inference", rtt)
 
 
 if __name__ == "__main__":

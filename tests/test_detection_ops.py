@@ -106,6 +106,38 @@ class TestROIAlign:
         assert out.shape == (1, 16, 7, 7, 4)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_trainable_grad_matches_autodiff(self):
+        """The windowed-scatter custom_vjp on the XLA gather forward (the
+        training-path default) must produce the same feature gradients as
+        autodiff of the plain gather formulation — including RoIs clamped to
+        level borders and boxes hanging off the image."""
+        feats = self._pyramid(B=2, C=4)
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(-20, 240, (2, 12, 2)).astype(np.float32)
+        wh = rng.uniform(4, 260, (2, 12, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        tup = tuple(feats)
+
+        def loss_trainable(fs):
+            out = roi_align.multilevel_roi_align_trainable(
+                fs, boxes, (4, 8, 16, 32, 64), 7, 2)
+            return jnp.sum(out * (1.0 + jnp.arange(out.size).reshape(out.shape)
+                                  % 5))
+
+        def loss_plain(fs):
+            out = roi_align.multilevel_roi_align(
+                list(fs), boxes, (4, 8, 16, 32, 64), 7, 2)
+            return jnp.sum(out * (1.0 + jnp.arange(out.size).reshape(out.shape)
+                                  % 5))
+
+        g_t = jax.grad(loss_trainable)(tup)
+        g_p = jax.grad(loss_plain)(tup)
+        assert np.allclose(np.asarray(loss_trainable(tup)),
+                           np.asarray(loss_plain(tup)), rtol=1e-5)
+        for a, b in zip(g_t, g_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
 
 class TestSampling:
     def test_counts(self):

@@ -582,8 +582,15 @@ class ROIHeadsCommon(nn.Module):
             from ..ops.roi_align_pallas import roi_align_pallas_trainable
             return roi_align_pallas_trainable(tuple(feats), boxes,
                                               tuple(strides), resolution, sr)
-        return multilevel_roi_align(feats, boxes, strides, resolution,
-                                    sampling_ratio=sr)
+        if inference:
+            return multilevel_roi_align(feats, boxes, strides, resolution,
+                                        sampling_ratio=sr)
+        # training default: XLA gather forward + windowed-scatter backward
+        # (4x fewer scatter rows than autodiff of the gather; boxes are
+        # stop-gradient'd upstream so their zero cotangent is exact)
+        from ..ops.roi_align import multilevel_roi_align_trainable
+        return multilevel_roi_align_trainable(tuple(feats), boxes,
+                                              tuple(strides), resolution, sr)
 
     def _scale_boxes(self, boxes):
         s = self.cfg.MODEL.ROI_CUBE_HEAD.SCALE_ROI_BOXES

@@ -400,93 +400,16 @@ def _ra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
 
 
 def _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level, res, g):
-    """Windowed scatter-add backward.
-
-    One lax.scatter_add of (2, 2, C) bilinear blocks per sample point into a
-    row-stacked per-level buffer — 4x fewer scatter rows than scattering the
-    4 corners separately (measured: the corner plan cost ~480 ms/step at
-    recipe scale, ~70% of the whole backward). Correctness at clamped
-    edges: when a sample clamps to the last row/col, its hi-corner bilinear
-    weight is exactly 0 (c = size-1 => frac = 0), so the +1 row/col of the
-    window writes only zeros — each level gets one guard row/col to absorb
-    them, sliced off afterwards.
-    """
+    """Windowed scatter-add backward — shared with the pure-XLA trainable
+    path (ops/roi_align.py::windowed_scatter_bwd): one (2,2,C) bilinear
+    block per sample point, 4x fewer scatter rows than the per-corner plan
+    (which cost ~480 ms/step at recipe scale, ~70% of the backward)."""
+    from .roi_align import windowed_scatter_bwd
     boxes, features_tuple = res
     shapes = tuple(f.shape for f in features_tuple)
     dtypes = tuple(f.dtype for f in features_tuple)
-    B, R = boxes.shape[:2]
-    C = shapes[0][-1]
-    feat_hw = [(s[1], s[2]) for s in shapes]
-    # stacked geometry: level l occupies rows [off_l, off_l + H_l) and cols
-    # [0, W_l) of a (sumH + L guard rows, maxW + 1, C) buffer
-    heights_g = [h + 1 for h, _ in feat_hw]
-    row_offsets = np.cumsum([0] + heights_g[:-1])
-    maxW = max(w for _, w in feat_hw)
-    sumH = sum(heights_g)
-
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1))
-
-    def per_image(boxes_i, g_i):
-        # _sample_plan exposes the corner decomposition; recompute the
-        # separable pieces (lo indices + fracs) directly here
-        from .roi_align import assign_fpn_levels
-        L = len(feat_hw)
-        heights = jnp.asarray([h for h, w in feat_hw], jnp.int32)
-        widths = jnp.asarray([w for h, w in feat_hw], jnp.int32)
-        offs = jnp.asarray(row_offsets, jnp.int32)
-        levels = assign_fpn_levels(boxes_i, min_level, min_level + L - 1) - min_level
-        inv_strides = jnp.asarray([1.0 / s for s in strides], jnp.float32)
-        scale = inv_strides[levels]
-        lvl_h = heights[levels]
-        lvl_w = widths[levels]
-        lvl_off = offs[levels]
-
-        x1 = boxes_i[:, 0] * scale - 0.5
-        y1 = boxes_i[:, 1] * scale - 0.5
-        x2 = boxes_i[:, 2] * scale - 0.5
-        y2 = boxes_i[:, 3] * scale - 0.5
-        roi_w = jnp.maximum(x2 - x1, 1e-6)
-        roi_h = jnp.maximum(y2 - y1, 1e-6)
-        P = output_size * sampling_ratio
-        grid = (jnp.arange(P, dtype=jnp.float32) + 0.5) / P
-        sx = x1[:, None] + roi_w[:, None] * grid
-        sy = y1[:, None] + roi_h[:, None] * grid
-
-        def prep(coord, size):
-            c = jnp.clip(coord, 0.0, size[:, None].astype(jnp.float32) - 1.0)
-            lo = jnp.floor(c)
-            return lo.astype(jnp.int32), c - lo
-
-        y_lo, fy = prep(sy, lvl_h)                      # (R, P)
-        x_lo, fx = prep(sx, lvl_w)
-        S = sampling_ratio
-        gs = jnp.repeat(jnp.repeat(g_i, S, axis=1), S, axis=2) / (S * S)
-        gs = gs.reshape(R, P * P, C)                    # row-major (y, x)
-
-        # block = outer([1-fy, fy], [1-fx, fx]) x g  -> (R, P*P, 2, 2, C)
-        wy = jnp.stack([1.0 - fy, fy], -1)              # (R, P, 2)
-        wx = jnp.stack([1.0 - fx, fx], -1)
-        w22 = (wy[:, :, None, :, None] * wx[:, None, :, None, :])  # (R,P,P,2,2)
-        upd = w22.reshape(R, P * P, 2, 2, 1) * gs[:, :, None, None, :]
-
-        rows = (lvl_off[:, None] + y_lo)[:, :, None].repeat(P, 2)  # (R, P, P)
-        cols = x_lo[:, None, :].repeat(P, 1)
-        idx = jnp.stack([rows.reshape(R, P * P),
-                         cols.reshape(R, P * P)], -1)   # (R, P*P, 2)
-
-        return jax.lax.scatter_add(
-            jnp.zeros((sumH, maxW + 1, C), jnp.float32),
-            idx.reshape(R * P * P, 2), upd.reshape(R * P * P, 2, 2, C),
-            dnums, indices_are_sorted=False, unique_indices=False,
-            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
-
-    buf = jax.vmap(per_image)(boxes, g)                 # (B, sumH, maxW+1, C)
-    grads = []
-    for (h, w), off, dt in zip(feat_hw, row_offsets, dtypes):
-        grads.append(buf[:, off:off + h, :w].astype(dt))
-    return tuple(grads), None
+    return windowed_scatter_bwd(shapes, dtypes, boxes, g, strides,
+                                output_size, sampling_ratio, min_level), None
 
 
 def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
