@@ -263,11 +263,11 @@ def bench_inference(rtt):
     }))
 
 
-def _wait_for_worker(max_wait_s: float = 900.0) -> bool:
+def _wait_for_worker(max_wait_s: float = 2700.0) -> bool:
     """After a TPU worker crash, poll a trivial kernel until the worker is
-    back (it restarts in ~5-15 min). Keeps the later stages — above all the
-    headline inference line — alive even if an earlier stage kills the
-    worker."""
+    back (observed restart times: 13-45 min). Keeps the later stages — above
+    all the headline inference line — alive even if an earlier stage kills
+    the worker."""
     import jax
     import jax.numpy as jnp
     t0 = time.time()

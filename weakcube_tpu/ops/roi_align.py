@@ -119,8 +119,8 @@ def multilevel_roi_align(
     # Accumulate the 4 bilinear corners one at a time: materialising the
     # stacked (B, R, 4, P, P, C) tensor costs ~10 GB at recipe scale
     # (b25 x 512 RoIs x 14x14 x 256ch) and OOMs a v5e; the running sum
-    # peaks at ~2 gathers instead. Gathers stay in the feature dtype
-    # (bf16 halves the traffic); the weighted sum accumulates in fp32.
+    # peaks at ~2 gathers instead. Gathers and the weighted sum stay in the
+    # feature dtype (bf16 halves the traffic; the 4-term sum loses <1 ulp).
     def flat_idx(yy, xx):
         # yy: (B, R, P) over rows ; xx: (B, R, P) over cols -> (B, R, P, P)
         return (lvl_off[..., None, None]
