@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from weakcube_tpu.ops import losses, nms, plane, roi_align, sampling
 from weakcube_tpu.ops.hull import soft_hull_mask
@@ -106,11 +107,13 @@ class TestROIAlign:
         assert out.shape == (1, 16, 7, 7, 4)
         assert np.all(np.isfinite(np.asarray(out)))
 
-    def test_trainable_grad_matches_autodiff(self):
-        """The windowed-scatter custom_vjp on the XLA gather forward (the
-        training-path default) must produce the same feature gradients as
-        autodiff of the plain gather formulation — including RoIs clamped to
-        level borders and boxes hanging off the image."""
+    @pytest.mark.parametrize("plan", ["matmul", "windowed"])
+    def test_trainable_grad_matches_autodiff(self, plan):
+        """Both custom_vjp plans on the XLA gather forward (matmul = the
+        training-path default, windowed = the scatter plan) must produce the
+        same feature gradients as autodiff of the plain gather formulation —
+        including RoIs clamped to level borders and boxes hanging off the
+        image."""
         feats = self._pyramid(B=2, C=4)
         rng = np.random.default_rng(3)
         xy = rng.uniform(-20, 240, (2, 12, 2)).astype(np.float32)
@@ -120,7 +123,7 @@ class TestROIAlign:
 
         def loss_trainable(fs):
             out = roi_align.multilevel_roi_align_trainable(
-                fs, boxes, (4, 8, 16, 32, 64), 7, 2)
+                fs, boxes, (4, 8, 16, 32, 64), 7, 2, 2, plan)
             return jnp.sum(out * (1.0 + jnp.arange(out.size).reshape(out.shape)
                                   % 5))
 

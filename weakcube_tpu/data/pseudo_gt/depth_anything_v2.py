@@ -34,12 +34,14 @@ TAP_LAYERS = {"vits": (2, 5, 8, 11), "vitb": (2, 5, 8, 11),
               "vitl": (4, 11, 17, 23)}
 
 
-def _fused_sdpa(q, k, v, scale):
+def _fused_sdpa(q, k, v, scale, seg=None):
     """Pallas flash attention on TPU (never materialises the (N, N) score
     matrix — at DAv2-L scale that matrix is ~1.9 GB/layer of HBM traffic,
-    the main non-matmul cost of the encoder). Sequence is padded to a
-    block multiple with SegmentIds masking; padded rows are sliced off.
-    Falls back to the unfused einsum path off-TPU (tests run on CPU)."""
+    the main non-matmul cost of the encoder). `seg` is an optional (B, N)
+    int mask of real tokens: when given, N must already be a 512 multiple
+    (the encoder pads ONCE at entry instead of every layer); when absent
+    the sequence is padded to a block multiple here and sliced back.
+    Falls back to an unfused einsum path off-TPU (tests run on CPU)."""
     B, H, N, d = q.shape
     try:
         if jax.devices()[0].platform not in ("tpu", "axon"):
@@ -48,24 +50,30 @@ def _fused_sdpa(q, k, v, scale):
             BlockSizes, SegmentIds, flash_attention)
         blk = 512
         Np = -(-N // blk) * blk
-        pad = Np - N
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        if seg is None:
+            pad = Np - N
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            seg_ = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        else:
+            assert N == Np, "pre-padded path requires N % 512 == 0"
+            seg_ = seg
         # the kernel's DEFAULT block sizes (block_k 128) run at ~4% MFU at
         # DAv2-L shapes (B16 H16 N1536 d64): 18 ms/layer, 36x slower than
         # 512-wide blocks which sit at the attention roofline (measured
         # 2026-08-20 on v5e)
         bs = BlockSizes(block_q=min(512, Np), block_k_major=min(512, Np),
                         block_k=min(512, Np), block_b=1)
-        out = flash_attention(qp, kp, vp,
-                              segment_ids=SegmentIds(q=seg, kv=seg),
+        out = flash_attention(q, k, v,
+                              segment_ids=SegmentIds(q=seg_, kv=seg_),
                               causal=False, sm_scale=scale, block_sizes=bs)
         return out[:, :, :N]
     except Exception:
         attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
+        if seg is not None:
+            attn = jnp.where(seg[:, None, None, :] == 0, -1e30, attn)
         attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
@@ -76,14 +84,14 @@ class Attention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seg=None):
         B, N, D = x.shape
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, self.heads, D // self.heads)
                             .transpose(2, 0, 3, 1, 4), 3, axis=0)
         q, k, v = q[0], k[0], v[0]                       # (B, H, N, d)
         scale = (D // self.heads) ** -0.5
-        out = _fused_sdpa(q, k, v, scale)
+        out = _fused_sdpa(q, k, v, scale, seg)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -94,9 +102,9 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seg=None):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = Attention(self.dim, self.heads, self.dtype, name="attn")(h)
+        h = Attention(self.dim, self.heads, self.dtype, name="attn")(h, seg)
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         x = x + h * ls1
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -127,12 +135,23 @@ class DINOv2(nn.Module):
                          (1, gh * gw + 1, dim))
         tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], 1) + pos
 
+        # Pad the sequence to a 512 multiple ONCE (1370 -> 1536 at the 518px
+        # canon) instead of padding/slicing around every flash-attention
+        # call: saves 4 copies of the (B, H, N, d) tensors per layer and
+        # keeps every matmul M-dim 128-aligned. Pad rows never mix into real
+        # rows (attention masks them via segment ids); taps slice them off.
+        N = gh * gw + 1
+        Np = -(-N // 512) * 512
+        tokens = jnp.pad(tokens, ((0, 0), (0, Np - N), (0, 0)))
+        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+
         taps = set(TAP_LAYERS[self.variant])
         outs = []
         for i in range(depth):
-            tokens = Block(dim, heads, self.dtype, name=f"block{i}")(tokens)
+            tokens = Block(dim, heads, self.dtype, name=f"block{i}")(tokens,
+                                                                     seg)
             if i in taps:
-                outs.append(tokens[:, 1:].reshape(B, gh, gw, dim))
+                outs.append(tokens[:, 1:N].reshape(B, gh, gw, dim))
         return outs
 
 

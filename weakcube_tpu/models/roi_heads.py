@@ -585,26 +585,24 @@ class ROIHeadsCommon(nn.Module):
         if inference:
             return multilevel_roi_align(feats, boxes, strides, resolution,
                                         sampling_ratio=sr)
-        # Training backward plan. "windowed" = custom_vjp emitting one
-        # (2,2,C)-block scatter_add per sample (4x fewer scatter rows than
-        # autodiff of the gather; boxes are stop-gradient'd upstream so
-        # their zero cotangent is exact). On TPU the default is plain
-        # autodiff: the windowed scatter reproducibly crashes the v5e
-        # worker we can test against ("TPU worker process crashed ...
-        # kernel fault" at first compile, bisected 2026-08-20 — likely a
-        # libtpu scatter bug; the same graph is exact and tested on CPU).
-        # WEAKCUBE_RA_TRAIN_BWD=windowed|autodiff overrides.
+        # Training feature-gradient plan (boxes are stop-gradient'd
+        # upstream so their zero cotangent is exact in every plan):
+        #   matmul   (default) scatter-free: two MXU einsums per level
+        #            against closed-form hat-function interpolation
+        #            matrices (ops/roi_align.py::matmul_bwd)
+        #   windowed one (2,2,C)-block scatter_add per sample — 4x fewer
+        #            scatter rows than autodiff, but scatter serializes on
+        #            TPU and this plan faults the v5e libtpu at compile
+        #            ("TPU worker process crashed", bisected 2026-08-20)
+        #   autodiff XLA's per-corner scatter of the gather forward
+        # WEAKCUBE_RA_TRAIN_BWD=matmul|windowed|autodiff overrides.
         import os
-        plan = os.environ.get("WEAKCUBE_RA_TRAIN_BWD")
-        if plan is None:
-            import jax
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            plan = "autodiff" if on_tpu else "windowed"
-        if plan == "windowed":
+        plan = os.environ.get("WEAKCUBE_RA_TRAIN_BWD", "matmul")
+        if plan in ("matmul", "windowed"):
             from ..ops.roi_align import multilevel_roi_align_trainable
             return multilevel_roi_align_trainable(tuple(feats), boxes,
                                                   tuple(strides), resolution,
-                                                  sr)
+                                                  sr, 2, plan)
         return multilevel_roi_align(feats, boxes, strides, resolution,
                                     sampling_ratio=sr)
 

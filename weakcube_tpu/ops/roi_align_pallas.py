@@ -412,13 +412,25 @@ def _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level, res, g):
                                 output_size, sampling_ratio, min_level), None
 
 
+def _ra_bwd_matmul(strides, output_size, sampling_ratio, min_level, res, g):
+    """Scatter-free dense-contraction backward (ops/roi_align.py::matmul_bwd):
+    the feature gradient as two MXU einsums per level against closed-form
+    hat-function interpolation matrices."""
+    from .roi_align import matmul_bwd
+    boxes, features_tuple = res
+    shapes = tuple(f.shape for f in features_tuple)
+    dtypes = tuple(f.dtype for f in features_tuple)
+    return matmul_bwd(shapes, dtypes, boxes, g, strides,
+                      output_size, sampling_ratio, min_level), None
+
+
 def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
     # Measured on v5e at recipe scale (b25@512px, SR1): XLA scatter 589 ms/
     # step vs Pallas RMW 630 ms — the per-RoI serialized window read-modify-
     # write (correctness requires it: RoI windows overlap, so grid step N+1
     # may not read before step N's write lands) costs more than XLA's sorted
-    # scatter-add. Scatter is the default; the Pallas path stays available
-    # for shapes where it may win (few, disjoint RoIs).
+    # scatter-add. Both lose to the dense matmul plan (no scatter at all),
+    # which is the default; WEAKCUBE_RA_BWD=scatter restores the old plan.
     import os
     if os.environ.get("WEAKCUBE_RA_BWD") == "zero":
         # diagnostic: no feature gradient from ROIAlign (isolates the
@@ -439,8 +451,11 @@ def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
         if (window + 8) * window * C * 4 <= 14 * 1024 * 1024:
             return _ra_bwd_pallas(strides, output_size, sampling_ratio,
                                   min_level, res, g)
-    return _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level,
-                           res, g)
+    if os.environ.get("WEAKCUBE_RA_BWD") == "scatter":
+        return _ra_bwd_scatter(strides, output_size, sampling_ratio,
+                               min_level, res, g)
+    return _ra_bwd_matmul(strides, output_size, sampling_ratio, min_level,
+                          res, g)
 
 
 roi_align_pallas_trainable.defvjp(_ra_fwd, _ra_bwd)
