@@ -22,6 +22,14 @@ Skip stages with BENCH_SKIP_TRAIN=1 / BENCH_SKIP_DEPTH=1 (the inference
 stage always runs). BENCH_BATCH / BENCH_TRAIN_BATCH / BENCH_DEPTH_BATCH
 override batch sizes.
 
+Stage isolation: each stage runs in its OWN fresh subprocess
+(`bench.py --stage <name>`), so HBM fragmentation / compiled-executable
+state from the train and depth stages cannot taint the headline inference
+number (round 2 measured a 15% inference regression, 393.5 -> 334.7
+img/s/chip, purely from running the stages in one process — VERDICT r2
+weak #2). After all stages the parent compares each metric against the
+newest BENCH_r*.json and prints a delta warning on any >5% drop.
+
 Methodology (axon remote-TPU platform): jax.block_until_ready is unreliable
 here, so every timing fetches a scalar to host and subtracts the tunnel
 round-trip (measured with a trivial kernel); medians guard against VM
@@ -29,12 +37,20 @@ pauses.
 """
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _env_flag(name: str) -> bool:
+    """True only for a real opt-in ('1'/'true'/'yes'), not '0'/'false'."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
 
 BASELINE_INFER_IPS = 12.0      # estimated reference inference on A40
 BASELINE_TRAIN_IPS = 14.7      # 25 img / 1.7 s/it recipe training on A40
@@ -87,13 +103,13 @@ def bench_train(rtt):
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.IMAGE_SIZE = S
     # Pallas ROIAlign inside the TRAIN graph reproducibly crashes the remote
-    # TPU worker (bisected 2026-08-20: no-Pallas train runs clean at 689 ms/
-    # step, the identical bench with USE_PALLAS_ROI_ALIGN=True dies at first
-    # step with "TPU worker process crashed ... kernel fault"; inference-only
-    # Pallas is fine). Default the train bench to the pure-XLA trainable path
-    # (gather forward + windowed-scatter backward); BENCH_TRAIN_PALLAS=1
-    # re-enables for re-testing on newer libtpu.
-    cfg.TPU.USE_PALLAS_ROI_ALIGN = bool(os.environ.get("BENCH_TRAIN_PALLAS"))
+    # TPU worker (bisected 2026-08-20: no-Pallas train runs clean, the
+    # identical bench with USE_PALLAS_ROI_ALIGN=True dies at first step with
+    # "TPU worker process crashed ... kernel fault"; inference-only Pallas is
+    # fine). Default the train bench to the pure-XLA trainable path (gather
+    # forward + matmul backward, the roi_heads.py default plan);
+    # BENCH_TRAIN_PALLAS=1 re-enables for re-testing on newer libtpu.
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = _env_flag("BENCH_TRAIN_PALLAS")
     cfg.freeze()
 
     priors = {"priors_dims_per_cat": np.tile(
@@ -141,7 +157,7 @@ def bench_train(rtt):
     # remote TPU worker — the throughput number must already be banked)
     # and can be disabled outright with BENCH_SKIP_COST=1.
     flops = None
-    if not os.environ.get("BENCH_SKIP_COST"):
+    if not _env_flag("BENCH_SKIP_COST"):
         try:
             lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
                 cell["s"], batch, jax.random.fold_in(rng, 2))
@@ -284,25 +300,96 @@ def _wait_for_worker(max_wait_s: float = 2700.0) -> bool:
     return False
 
 
-def _run_stage(fn, name, rtt):
+STAGES = {"train": bench_train, "depth": bench_depth,
+          "inference": bench_inference}
+
+
+def _run_stage_inline(name):
+    """Child-process entry: measure rtt and run exactly one stage."""
+    rtt = _measure_rtt()
+    STAGES[name](rtt)
+
+
+def _previous_bench():
+    """Newest BENCH_r*.json in the repo root -> {metric: value}."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return {}
     try:
-        fn(rtt)
-        return True
-    except Exception as e:
-        print(f"# {name} bench failed: {e!r}", file=sys.stderr)
-        msg = str(e)
-        if "worker process crashed" in msg or "UNAVAILABLE" in msg:
+        with open(best) as f:
+            text = f.read()
+    except OSError:
+        return {}
+    prev = {}
+    # the driver artifact embeds the bench stdout in a "tail" field; pull
+    # every {"metric": ...} JSON line out of the whole text
+    for m in re.finditer(r'\{"metric":[^\n]*?\}', text.replace("\\n", "\n")
+                         .replace('\\"', '"')):
+        try:
+            rec = json.loads(m.group(0))
+            prev[rec["metric"]] = rec["value"]
+        except (json.JSONDecodeError, KeyError):
+            pass
+    return prev
+
+
+def _run_stage_subprocess(name, timeout_s=3600):
+    """Run one stage in a fresh interpreter; forward its stdout (the JSON
+    metric lines) and stderr. Returns the parsed metric records."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", name]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        print(f"# {name} stage timed out after {timeout_s}s", file=sys.stderr)
+        sys.stderr.write(e.stderr or "")
+        return []
+    sys.stderr.write(proc.stderr)
+    records = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line, flush=True)
+            try:
+                records.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+        elif line:
+            print(line, file=sys.stderr)
+    if proc.returncode != 0:
+        print(f"# {name} stage exited rc={proc.returncode}", file=sys.stderr)
+        combined = proc.stdout + proc.stderr
+        if "worker process crashed" in combined or "UNAVAILABLE" in combined:
             _wait_for_worker()
-        return False
+    return records
 
 
 def main():
-    rtt = _measure_rtt()
-    if not os.environ.get("BENCH_SKIP_TRAIN"):
-        _run_stage(bench_train, "train", rtt)
-    if not os.environ.get("BENCH_SKIP_DEPTH"):
-        _run_stage(bench_depth, "depth", rtt)
-    _run_stage(bench_inference, "inference", rtt)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _run_stage_inline(sys.argv[2])
+        return
+    prev = _previous_bench()
+    stages = []
+    if not _env_flag("BENCH_SKIP_TRAIN"):
+        stages.append("train")
+    if not _env_flag("BENCH_SKIP_DEPTH"):
+        stages.append("depth")
+    stages.append("inference")
+    results = {}
+    for name in stages:
+        for rec in _run_stage_subprocess(name):
+            results[rec["metric"]] = rec["value"]
+    for metric, value in results.items():
+        if metric in prev and prev[metric] > 0:
+            delta = (value - prev[metric]) / prev[metric]
+            tag = "REGRESSION " if delta < -0.05 else ""
+            print(f"# {tag}{metric}: {value} vs previous {prev[metric]} "
+                  f"({delta:+.1%})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -135,3 +135,62 @@ def test_multihost_entry_single_process():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "multihost-entry ok" in r.stdout
+
+
+def test_multihost_entry_two_processes():
+    """A real 2-process jax.distributed 'cluster' on CPU: 2 processes x 2
+    virtual devices = 4 global devices; a cross-process collective (global
+    sum over a 'data'-sharded array) must see every shard. This is the
+    multi-controller path the reference reaches with launch(num_machines=2)
+    (reference tools/train_net.py:529-536) — here it is
+    maybe_initialize_distributed (parallel/distributed.py:32) driven purely
+    by WEAKCUBE_* env vars."""
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        "from weakcube_tpu.parallel import (maybe_initialize_distributed,\n"
+        "                                   make_mesh)\n"
+        "assert maybe_initialize_distributed()\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "assert jax.device_count() == 4, jax.device_count()\n"
+        "mesh = make_mesh([-1], ['data'])\n"
+        "assert mesh.size == 4\n"
+        "sh = NamedSharding(mesh, P('data'))\n"
+        "x = jax.make_array_from_callback(\n"
+        "    (8,), sh, lambda idx: np.arange(8.0, dtype=np.float32)[idx])\n"
+        "total = jax.jit(jnp.sum,\n"
+        "                out_shardings=NamedSharding(mesh, P()))(x)\n"
+        "assert float(total) == 28.0, float(total)\n"
+        "print('rank %%d ok' %% jax.process_index())\n" % repo)
+
+    def spawn(rank):
+        env = dict(os.environ,
+                   WEAKCUBE_COORDINATOR="127.0.0.1:8497",
+                   WEAKCUBE_NUM_PROCESSES="2",
+                   WEAKCUBE_PROCESS_ID=str(rank),
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        return subprocess.Popen([sys.executable, "-c", code], env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rank, (rc, out, err) in enumerate(outs):
+        assert rc == 0, (rank, out[-2000:], err[-2000:])
+        assert f"rank {rank} ok" in out

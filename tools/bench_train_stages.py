@@ -60,7 +60,11 @@ def build(cfg_overrides=None, G=16):
     cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
                                      "configs", "Omni_combined.yaml"))
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
-    cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    # match the PRODUCTION train graph: Pallas ROIAlign crashes the TPU
+    # worker inside train graphs (see bench.py), so the default train path
+    # is XLA gather fwd + matmul bwd; BENCH_TRAIN_PALLAS=1 to re-test
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = os.environ.get(
+        "BENCH_TRAIN_PALLAS", "") not in ("", "0", "false")
     # default POOLER_SAMPLING_RATIO (0 -> static 2) so the stages decompose
     # the same graph bench.py's weakcube_train_step_recipe measures; override
     # via BENCH_TRAIN_SR when comparing sampling ratios
@@ -127,6 +131,32 @@ def main():
 
     # forward only (before the full step: that one donates the state)
     params, batch_stats = state.params, state.batch_stats
+
+    # backbone-only fwd and fwd+bwd: prices the DLA34-FPN convs, the one
+    # stage with real MXU FLOPs — the gap between this and fwd_bwd is the
+    # detection-head (RPN labels/NMS + RoI/cube) cost
+    if not os.environ.get("BENCH_STAGES_SKIP_BACKBONE"):
+        from weakcube_tpu.models.backbone.build import build_backbone
+        bb = build_backbone(model.cfg, model.dtype)
+        bb_params = params["backbone"]
+        bb_stats = (batch_stats or {}).get("backbone", {})
+        images = batch["image"]
+
+        def bb_fwd(p):
+            feats = bb.apply({"params": p, "batch_stats": bb_stats},
+                             images, train=False)
+            return sum(jnp.sum(f.astype(jnp.float32) ** 2)
+                       for f in feats.values())
+        bf = jax.jit(bb_fwd)
+        t0 = time.perf_counter()
+        results["backbone_fwd"] = timed(lambda: bf(bb_params))
+        print(f"# backbone_fwd compiled+timed in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        bg = jax.jit(lambda p: optax.global_norm(jax.grad(bb_fwd)(p)))
+        t0 = time.perf_counter()
+        results["backbone_fwd_bwd"] = timed(lambda: bg(bb_params))
+        print(f"# backbone_fwd_bwd compiled+timed in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     def fwd(p):
         (losses, _m), _ = model.apply(

@@ -51,21 +51,26 @@ def _fused_sdpa(q, k, v, scale, seg=None):
         blk = 512
         Np = -(-N // blk) * blk
         if seg is None:
+            # pad into fresh names so the einsum fallback below always sees
+            # the original unpadded q/k/v even if flash_attention raises
             pad = Np - N
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
             seg_ = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
         else:
             assert N == Np, "pre-padded path requires N % 512 == 0"
-            seg_ = seg
+            qp, kp, vp, seg_ = q, k, v, seg
         # the kernel's DEFAULT block sizes (block_k 128) run at ~4% MFU at
         # DAv2-L shapes (B16 H16 N1536 d64): 18 ms/layer, 36x slower than
         # 512-wide blocks which sit at the attention roofline (measured
-        # 2026-08-20 on v5e)
-        bs = BlockSizes(block_q=min(512, Np), block_k_major=min(512, Np),
-                        block_k=min(512, Np), block_b=1)
-        out = flash_attention(q, k, v,
+        # 2026-08-20 on v5e). WEAKCUBE_FLASH_BLOCK sweeps alternatives
+        # (must divide the padded N, trace-time only).
+        import os
+        fb = int(os.environ.get("WEAKCUBE_FLASH_BLOCK", 512))
+        bs = BlockSizes(block_q=min(fb, Np), block_k_major=min(fb, Np),
+                        block_k=min(fb, Np), block_b=1)
+        out = flash_attention(qp, kp, vp,
                               segment_ids=SegmentIds(q=seg_, kv=seg_),
                               causal=False, sm_scale=scale, block_sizes=bs)
         return out[:, :, :N]
@@ -103,24 +108,40 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, seg=None):
+        # cast the layer-scale gammas to the compute dtype so the residual
+        # stream stays bf16 end-to-end: an f32 gamma would promote x + h*ls
+        # to f32 and double the HBM traffic of every residual add in all 24
+        # layers (~200 MB/layer at DAv2-L B16)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.heads, self.dtype, name="attn")(h, seg)
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
-        x = x + h * ls1
+        x = x + h * ls1.astype(self.dtype)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
-        return x + h * ls2
+        return x + h * ls2.astype(self.dtype)
 
 
 class DINOv2(nn.Module):
-    """Plain ViT encoder returning the 4 tapped patch-token maps."""
+    """Plain ViT encoder returning the 4 tapped patch-token maps.
+
+    pad_mode picks where the flash-attention 512-multiple sequence padding
+    happens (N = 1370 at the 518 px canon):
+      * "attn" (default): dense layers run at the REAL N; q/k/v are padded
+        inside each attention call and sliced back. The pad/slice copies
+        cost ~0.2 ms/layer but every Dense/MLP matmul saves the 12% pad-row
+        FLOPs (~1.6 TFLOP per B16 batch at DAv2-L) — measured faster than
+        pad-once on v5e.
+      * "once": pad the token stream to 1536 at entry and thread segment
+        ids; every matmul is 128-aligned but computes 12% dead rows.
+    """
 
     variant: str = "vitl"
     patch: int = 14
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "attn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
@@ -133,17 +154,16 @@ class DINOv2(nn.Module):
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, gh * gw + 1, dim))
-        tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], 1) + pos
+        # keep the residual stream in the compute dtype (see Block)
+        tokens = (jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], 1)
+                  + pos).astype(self.dtype)
 
-        # Pad the sequence to a 512 multiple ONCE (1370 -> 1536 at the 518px
-        # canon) instead of padding/slicing around every flash-attention
-        # call: saves 4 copies of the (B, H, N, d) tensors per layer and
-        # keeps every matmul M-dim 128-aligned. Pad rows never mix into real
-        # rows (attention masks them via segment ids); taps slice them off.
         N = gh * gw + 1
-        Np = -(-N // 512) * 512
-        tokens = jnp.pad(tokens, ((0, 0), (0, Np - N), (0, 0)))
-        seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
+        seg = None
+        if self.pad_mode == "once":
+            Np = -(-N // 512) * 512
+            tokens = jnp.pad(tokens, ((0, 0), (0, Np - N), (0, 0)))
+            seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
 
         taps = set(TAP_LAYERS[self.variant])
         outs = []
@@ -222,10 +242,12 @@ class DepthAnythingV2(nn.Module):
     variant: str = "vitl"
     max_depth: float = 20.0
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "attn"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        taps = DINOv2(self.variant, dtype=self.dtype, name="backbone")(x)
+        taps = DINOv2(self.variant, dtype=self.dtype,
+                      pad_mode=self.pad_mode, name="backbone")(x)
         return DPTHead(self.variant, self.max_depth, self.dtype,
                        name="head")(taps, x.shape[1:3])
 

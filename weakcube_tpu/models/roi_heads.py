@@ -595,9 +595,16 @@ class ROIHeadsCommon(nn.Module):
         #            TPU and this plan faults the v5e libtpu at compile
         #            ("TPU worker process crashed", bisected 2026-08-20)
         #   autodiff XLA's per-corner scatter of the gather forward
-        # WEAKCUBE_RA_TRAIN_BWD=matmul|windowed|autodiff overrides.
+        # WEAKCUBE_RA_TRAIN_BWD=matmul|windowed|autodiff overrides. NOTE:
+        # read at TRACE time — it must be set before the first train step is
+        # jit-compiled; changing it afterwards has no effect on the cached
+        # executable.
         import os
         plan = os.environ.get("WEAKCUBE_RA_TRAIN_BWD", "matmul")
+        if plan not in ("matmul", "windowed", "autodiff"):
+            raise ValueError(
+                f"WEAKCUBE_RA_TRAIN_BWD={plan!r}: expected one of "
+                "'matmul', 'windowed', 'autodiff'")
         if plan in ("matmul", "windowed"):
             from ..ops.roi_align import multilevel_roi_align_trainable
             return multilevel_roi_align_trainable(tuple(feats), boxes,
