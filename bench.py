@@ -186,7 +186,10 @@ def bench_depth(rtt):
     import jax.numpy as jnp
     from weakcube_tpu.data.pseudo_gt.depth_anything_v2 import DepthAnythingV2
 
-    B = int(os.environ.get("BENCH_DEPTH_BATCH", 16))
+    # batch sweep on v5e (tools/bench_depth_sweep.py, 2026-08-20): B16 59.7,
+    # B32 55.7, B48 67.4, B64 67.3, B96 66.5, B128 57.2 img/s (pad-once) —
+    # B48 is the sweet spot
+    B = int(os.environ.get("BENCH_DEPTH_BATCH", 48))
     SIZE = 518
     model = DepthAnythingV2(variant="vitl", max_depth=20.0)
     x = jnp.asarray(np.random.default_rng(0).normal(

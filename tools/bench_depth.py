@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REF_IMG_PER_SEC = 13.0
-BATCH = int(os.environ.get("BENCH_DEPTH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_DEPTH_BATCH", 48))  # v5e sweet spot (sweep 2026-08-20)
 SIZE = 518
 
 

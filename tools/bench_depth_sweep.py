@@ -41,16 +41,18 @@ def main():
 
     SIZE = 518
     quick = "--quick" in sys.argv
+    # round-1 sweep (2026-08-20, after the bf16-residual fix): B16 attn 57.4,
+    # B16 once 59.7, B32 attn 53.5, B32 once 55.7, B48 attn 63.0, B64 attn
+    # 63.1 img/s; encoder-only B64 875 ms -> head 139 ms (13.7%). pad-once
+    # wins at equal batch; batch helps monotonically.
     configs = [
-        ("B16 pad-attn", 16, "attn"),
-        ("B32 pad-attn", 32, "attn"),
-        ("B16 pad-once", 16, "once"),
-        ("B32 pad-once", 32, "once"),
+        ("B48 pad-once", 48, "once"),
+        ("B64 pad-once", 64, "once"),
+        ("B96 pad-once", 96, "once"),
     ]
     if not quick:
         configs += [
-            ("B48 pad-attn", 48, "attn"),
-            ("B64 pad-attn", 64, "attn"),
+            ("B128 pad-once", 128, "once"),
         ]
 
     rng = np.random.default_rng(0)

@@ -22,7 +22,7 @@ from typing import Dict, Iterable, Sequence
 import numpy as np
 
 
-def depth_of_images(model, params, images: np.ndarray, batch_size: int = 16):
+def depth_of_images(model, params, images: np.ndarray, batch_size: int = 48):
     """Batched jitted inference: (N, H, W, 3) -> (N, H, W) metric depth."""
     import jax
 
@@ -45,7 +45,7 @@ def depth_of_images(model, params, images: np.ndarray, batch_size: int = 16):
 
 def generate(records: Sequence[Dict], out_dir: str, checkpoint: str | None,
              variant: str = "vitl", max_depth: float = 20.0,
-             batch_size: int = 16, input_size: int = 518,
+             batch_size: int = 48, input_size: int = 518,
              image_loader=None) -> None:
     import jax
     from .datasets import read_image

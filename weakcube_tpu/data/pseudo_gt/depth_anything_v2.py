@@ -63,11 +63,13 @@ def _fused_sdpa(q, k, v, scale, seg=None):
             qp, kp, vp, seg_ = q, k, v, seg
         # the kernel's DEFAULT block sizes (block_k 128) run at ~4% MFU at
         # DAv2-L shapes (B16 H16 N1536 d64): 18 ms/layer, 36x slower than
-        # 512-wide blocks which sit at the attention roofline (measured
-        # 2026-08-20 on v5e). WEAKCUBE_FLASH_BLOCK sweeps alternatives
-        # (must divide the padded N, trace-time only).
+        # 512-wide blocks which sit near the attention roofline (measured
+        # 2026-08-20 on v5e); 768-wide is another ~1% faster at the 518 px
+        # canon (Np=1536) and is auto-picked when it divides Np.
+        # WEAKCUBE_FLASH_BLOCK overrides (must divide Np, trace-time only).
         import os
-        fb = int(os.environ.get("WEAKCUBE_FLASH_BLOCK", 512))
+        default = 768 if Np % 768 == 0 else 512
+        fb = int(os.environ.get("WEAKCUBE_FLASH_BLOCK", default))
         bs = BlockSizes(block_q=min(fb, Np), block_k_major=min(fb, Np),
                         block_k=min(fb, Np), block_b=1)
         out = flash_attention(qp, kp, vp,
@@ -83,6 +85,33 @@ def _fused_sdpa(q, k, v, scale, seg=None):
         return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
+class _QKVEinsum(nn.Module):
+    """Fused qkv projection emitting (B, H, N, d) directly: three einsums
+    against sliced views of the SAME (D, 3D) parameter the torch converter
+    fills, letting XLA fold the head transpose into the matmul output
+    layout instead of permuting the (B, N, 3D) tensor afterwards."""
+
+    dim: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        D, H = self.dim, self.heads
+        d = D // H
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (D, 3 * D)).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (3 * D,)).astype(self.dtype)
+        parts = []
+        for i in range(3):
+            w = kern[:, i * D:(i + 1) * D].reshape(D, H, d)
+            b = bias[i * D:(i + 1) * D].reshape(H, d)
+            parts.append(jnp.einsum("bnd,dhk->bhnk", x, w)
+                         + b[None, :, None, :])
+        return parts
+
+
 class Attention(nn.Module):
     dim: int
     heads: int
@@ -90,12 +119,20 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, seg=None):
+        import os
         B, N, D = x.shape
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, self.heads, D // self.heads)
-                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]                       # (B, H, N, d)
-        scale = (D // self.heads) ** -0.5
+        H, d = self.heads, D // self.heads
+        scale = d ** -0.5
+        # default ON: measured 67.4 -> 76.7 img/s at DAv2-L B48 on v5e
+        # (2026-08-20) vs the Dense-then-transpose formulation; identical
+        # numerics and parameter tree (WEAKCUBE_QKV_EINSUM=0 reverts)
+        if os.environ.get("WEAKCUBE_QKV_EINSUM", "1") not in ("", "0"):
+            q, k, v = _QKVEinsum(self.dim, H, self.dtype, name="qkv")(x)
+        else:
+            qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+            q, k, v = jnp.split(qkv.reshape(B, N, 3, H, d)
+                                .transpose(2, 0, 3, 1, 4), 3, axis=0)
+            q, k, v = q[0], k[0], v[0]                   # (B, H, N, d)
         out = _fused_sdpa(q, k, v, scale, seg)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -129,19 +166,18 @@ class DINOv2(nn.Module):
 
     pad_mode picks where the flash-attention 512-multiple sequence padding
     happens (N = 1370 at the 518 px canon):
-      * "attn" (default): dense layers run at the REAL N; q/k/v are padded
-        inside each attention call and sliced back. The pad/slice copies
-        cost ~0.2 ms/layer but every Dense/MLP matmul saves the 12% pad-row
-        FLOPs (~1.6 TFLOP per B16 batch at DAv2-L) — measured faster than
-        pad-once on v5e.
-      * "once": pad the token stream to 1536 at entry and thread segment
-        ids; every matmul is 128-aligned but computes 12% dead rows.
+      * "once" (default): pad the token stream to 1536 at entry and thread
+        segment ids; every matmul is 128-aligned but computes 12% dead
+        rows. Measured FASTER on v5e (2026-08-20 sweep: 59.7 vs 57.4 img/s
+        at B16) — the aligned matmuls beat the pad-row FLOP waste.
+      * "attn": dense layers run at the REAL N; q/k/v are padded inside
+        each attention call and sliced back (4 extra copies per layer).
     """
 
     variant: str = "vitl"
     patch: int = 14
     dtype: Any = jnp.bfloat16
-    pad_mode: str = "attn"
+    pad_mode: str = "once"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
@@ -242,7 +278,7 @@ class DepthAnythingV2(nn.Module):
     variant: str = "vitl"
     max_depth: float = 20.0
     dtype: Any = jnp.bfloat16
-    pad_mode: str = "attn"
+    pad_mode: str = "once"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
