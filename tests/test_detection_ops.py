@@ -172,6 +172,23 @@ class TestSampling:
         assert int(fg.sum()) == 10         # all fg kept (budget was 16)
         assert int(bg.sum()) == 54         # fills to 64
 
+    def test_rank_budget_mask_matches_argsort(self):
+        # the top-k cut must reproduce the full argsort+rank mask exactly
+        # (continuous scores -> no ties) for every budget incl. 0 and >valid
+        rng = np.random.default_rng(11)
+        scores = jnp.asarray(rng.normal(size=300).astype(np.float32))
+        valid = jnp.asarray(rng.random(300) < 0.4)
+        for budget in (0, 1, 17, 64, 200):
+            got = sampling.rank_budget_mask(scores, valid,
+                                            jnp.asarray(budget), 200)
+            s = np.where(np.asarray(valid), np.asarray(scores), -1e10)
+            order = np.argsort(-s, kind="stable")
+            rank = np.empty_like(order)
+            rank[order] = np.arange(order.size)
+            want = np.asarray(valid) & (rank < budget)
+            np.testing.assert_array_equal(np.asarray(got), want,
+                                          err_msg=f"budget={budget}")
+
 
 class TestLosses:
     def test_focal_matches_manual(self):

@@ -86,12 +86,13 @@ def label_and_sample_anchors(key: jax.Array, anchors: jnp.ndarray,
         pos_mask = sampling.gumbel_topk_mask(
             k1, jnp.log(matched_vals + 1e-4), is_pos, n_pos_budget)
         n_pos = jnp.sum(pos_mask)
-        # negatives fill the remaining budget, IoU-weighted too
+        # negatives fill the remaining budget, IoU-weighted too. Cutting the
+        # gumbel scores at the budget-th largest (rank_budget_mask) avoids a
+        # full ~65k-anchor bitonic sort per image on TPU.
         g = jax.random.gumbel(k2, is_neg.shape) + jnp.log(matched_vals + 1e-4)
-        neg_scores = jnp.where(is_neg, g, -jnp.inf)
-        order = jnp.argsort(-neg_scores)
-        rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-        neg_mask = is_neg & (rank < jnp.maximum(batch_size_per_image - n_pos, 0))
+        neg_budget = jnp.maximum(batch_size_per_image - n_pos, 0)
+        neg_mask = sampling.rank_budget_mask(g, is_neg, neg_budget,
+                                             batch_size_per_image)
 
         final = jnp.full(labels.shape, -1, jnp.int32)
         final = jnp.where(neg_mask, 0, final)

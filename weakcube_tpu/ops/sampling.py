@@ -42,6 +42,25 @@ def uniform_topk_mask(key: jax.Array, valid: jnp.ndarray, k: int) -> jnp.ndarray
     return gumbel_topk_mask(key, jnp.zeros(valid.shape, jnp.float32), valid, k)
 
 
+def rank_budget_mask(scores: jnp.ndarray, valid: jnp.ndarray,
+                     budget: jnp.ndarray, max_budget: int) -> jnp.ndarray:
+    """`valid & (descending-rank(scores) < budget)` WITHOUT a full sort.
+
+    `budget` is a traced scalar bounded by the static `max_budget`. A full
+    argsort + rank scatter over N anchors (the d2 pattern) is an O(N log N)
+    bitonic sort on TPU; the same mask falls out of one `lax.top_k` of only
+    `max_budget` values: the budget-th largest score is the cut, and every
+    valid score >= the cut is in-budget. Exact for continuous (gumbel-noised)
+    scores, where ties have probability zero; with fewer than `budget` valid
+    items the cut lands on the _NEG padding and every valid item is kept,
+    matching the sort-based semantics.
+    """
+    masked = jnp.where(valid, scores, _NEG)
+    top, _ = jax.lax.top_k(masked, min(max_budget, masked.shape[-1]))
+    cut = top[..., jnp.clip(budget - 1, 0, top.shape[-1] - 1)]
+    return valid & (masked >= cut) & (budget > 0)
+
+
 def sample_fg_bg(key: jax.Array, is_fg: jnp.ndarray, is_bg: jnp.ndarray,
                  num_samples: int, positive_fraction: float,
                  fg_log_weights: jnp.ndarray | None = None):
@@ -53,8 +72,8 @@ def sample_fg_bg(key: jax.Array, is_fg: jnp.ndarray, is_bg: jnp.ndarray,
 
     Note: d2 fills the bg budget as `num_samples - actual_num_fg`; with few
     foregrounds the bg draw grows. We honour that by computing the bg budget
-    from the realised fg count via a second masked top-k with a count-derived
-    threshold (still static shape).
+    from the realised fg count and cutting the gumbel scores at the budget-th
+    largest (`rank_budget_mask` — no full sort, still static shape).
     """
     kf, kb = jax.random.split(key)
     num_fg_budget = int(num_samples * positive_fraction)
@@ -64,12 +83,8 @@ def sample_fg_bg(key: jax.Array, is_fg: jnp.ndarray, is_bg: jnp.ndarray,
     num_fg = jnp.sum(fg_mask)
 
     # background: draw `num_samples` candidates in random order, keep the
-    # first (num_samples - num_fg) of them using a rank threshold.
-    n = is_bg.shape[0]
-    g = jax.random.gumbel(kb, (n,))
-    bg_scores = jnp.where(is_bg, g, _NEG)
-    order = jnp.argsort(-bg_scores)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    # first (num_samples - num_fg) of them.
+    g = jax.random.gumbel(kb, is_bg.shape)
     bg_budget = jnp.maximum(num_samples - num_fg, 0)
-    bg_mask = is_bg & (rank < bg_budget)
+    bg_mask = rank_budget_mask(g, is_bg, bg_budget, num_samples)
     return fg_mask, bg_mask
