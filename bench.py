@@ -107,11 +107,11 @@ def bench_train(rtt):
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.IMAGE_SIZE = S
     # Pallas ROIAlign inside the TRAIN graph reproducibly crashes the remote
-    # TPU worker (bisected 2026-08-20: no-Pallas train runs clean, the
-    # identical bench with USE_PALLAS_ROI_ALIGN=True dies at first step with
-    # "TPU worker process crashed ... kernel fault"; inference-only Pallas is
-    # fine). Default the train bench to the pure-XLA trainable path (gather
-    # forward + matmul backward, the roi_heads.py default plan);
+    # TPU worker (bisected 2026-08-20; RE-CONFIRMED 2026-08-21 with the
+    # matmul backward now the default, so the fault is the Pallas FORWARD
+    # kernel inside train graphs — inference-only Pallas is fine). Default
+    # the train bench to the pure-XLA trainable path (matmul einsum forward
+    # + matmul backward, the roi_heads.py defaults);
     # BENCH_TRAIN_PALLAS=1 re-enables for re-testing on newer libtpu.
     cfg.TPU.USE_PALLAS_ROI_ALIGN = _env_flag("BENCH_TRAIN_PALLAS")
     cfg.freeze()

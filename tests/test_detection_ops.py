@@ -107,6 +107,26 @@ class TestROIAlign:
         assert out.shape == (1, 16, 7, 7, 4)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_matmul_fwd_matches_gather(self):
+        # the dense-contraction forward must reproduce the gather forward's
+        # clamped bilinear sampling plan exactly (f32: tight tolerance),
+        # including multi-level assignment, edge-clamped boxes and
+        # degenerate/padded RoIs
+        feats = self._pyramid(B=2, C=8)
+        rng = np.random.default_rng(7)
+        xy = rng.uniform(0, 250, (2, 9, 2))
+        wh = rng.uniform(1, 200, (2, 9, 2))
+        boxes = np.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        boxes[0, 3] = [40, 40, 40, 40]       # degenerate
+        boxes[1, 5] = [-30, -30, 400, 400]   # out of bounds (clamps)
+        boxes = jnp.asarray(boxes.astype(np.float32))
+        ref = roi_align.multilevel_roi_align(
+            feats, boxes, (4, 8, 16, 32, 64), 7, 2)
+        got = roi_align.matmul_fwd(feats, boxes, (4, 8, 16, 32, 64), 7, 2,
+                                   chunk=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
     @pytest.mark.parametrize("plan", ["matmul", "windowed"])
     def test_trainable_grad_matches_autodiff(self, plan):
         """Both custom_vjp plans on the XLA gather forward (matmul = the

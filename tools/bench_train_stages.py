@@ -24,16 +24,40 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+_TINY = None
+
+
+def _tiny():
+    """Jitted trivial kernel used as a per-sample tunnel-RTT probe."""
+    global _TINY
+    if _TINY is None:
+        import jax
+        import jax.numpy as jnp
+        _TINY = jax.jit(lambda x: x + 1.0)
+        float(_TINY(jnp.zeros(())))  # compile
+    import jax.numpy as jnp
+    return float(_TINY(jnp.zeros(())))
+
+
 def timed(fn, *args, iters=8):
+    """Median seconds per call with the tunnel RTT subtracted PER SAMPLE:
+    the axon RTT drifts 28-94 ms between runs (observed), so a single
+    up-front RTT estimate can be off by >50 ms — instead each timing sample
+    is followed immediately by a tiny-kernel call and that adjacent RTT is
+    subtracted from it."""
     out = fn(*args)
     _ = jax_block(out)
+    _tiny()
     per = []
     for _i in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
         _ = jax_block(out)
-        per.append(time.perf_counter() - t0)
-    return float(np.median(per))
+        t1 = time.perf_counter()
+        _tiny()
+        t2 = time.perf_counter()
+        per.append((t1 - t0) - (t2 - t1))
+    return max(float(np.median(per)), 1e-6)
 
 
 def jax_block(tree):
@@ -138,8 +162,16 @@ def main():
     if not os.environ.get("BENCH_STAGES_SKIP_BACKBONE"):
         from weakcube_tpu.models.backbone.build import build_backbone
         bb = build_backbone(model.cfg, model.dtype)
-        bb_params = params["backbone"]
-        bb_stats = (batch_stats or {}).get("backbone", {})
+        # the bottom_up module is constructed with an explicit name before
+        # Backbone wraps it, so inside RCNN3D its params are hoisted to a
+        # TOP-LEVEL "bottom_up" scope (siblings of "backbone"/"fpn") — remap
+        # to the {bottom_up, fpn} layout a standalone Backbone.init produces
+        bb_params = {"bottom_up": params["bottom_up"],
+                     "fpn": params["backbone"]["fpn"]}
+        bs = batch_stats or {}
+        bb_stats = {k: v for k, v in (
+            ("bottom_up", bs.get("bottom_up", {})),
+            ("fpn", bs.get("backbone", {}).get("fpn", {}))) if v}
         images = batch["image"]
 
         def bb_fwd(p):
@@ -147,16 +179,19 @@ def main():
                              images, train=False)
             return sum(jnp.sum(f.astype(jnp.float32) ** 2)
                        for f in feats.values())
+        def measure(tag, thunk):
+            t0 = time.perf_counter()
+            try:
+                results[tag] = timed(thunk)
+                print(f"# {tag} compiled+timed in "
+                      f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+            except Exception as e:  # keep later stages alive
+                print(f"# {tag} FAILED: {e!r}", file=sys.stderr)
+
         bf = jax.jit(bb_fwd)
-        t0 = time.perf_counter()
-        results["backbone_fwd"] = timed(lambda: bf(bb_params))
-        print(f"# backbone_fwd compiled+timed in "
-              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        measure("backbone_fwd", lambda: bf(bb_params))
         bg = jax.jit(lambda p: optax.global_norm(jax.grad(bb_fwd)(p)))
-        t0 = time.perf_counter()
-        results["backbone_fwd_bwd"] = timed(lambda: bg(bb_params))
-        print(f"# backbone_fwd_bwd compiled+timed in "
-              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        measure("backbone_fwd_bwd", lambda: bg(bb_params))
 
     def fwd(p):
         (losses, _m), _ = model.apply(

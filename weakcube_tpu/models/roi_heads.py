@@ -605,11 +605,20 @@ class ROIHeadsCommon(nn.Module):
             raise ValueError(
                 f"WEAKCUBE_RA_TRAIN_BWD={plan!r}: expected one of "
                 "'matmul', 'windowed', 'autodiff'")
-        if plan in ("matmul", "windowed"):
+        # forward plan: the take_along_axis gather runs at ~3% of HBM
+        # bandwidth at recipe scale (191 ms for the b25x512 box pooler,
+        # round-3 tools/bench_fwd_parts.py); the dense-contraction forward
+        # (same separable plan as the matmul backward) rides the MXU
+        fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", "matmul")
+        if fwd_plan not in ("matmul", "gather"):
+            raise ValueError(
+                f"WEAKCUBE_RA_TRAIN_FWD={fwd_plan!r}: expected "
+                "'matmul' or 'gather'")
+        if plan in ("matmul", "windowed") or fwd_plan == "matmul":
             from ..ops.roi_align import multilevel_roi_align_trainable
             return multilevel_roi_align_trainable(tuple(feats), boxes,
                                                   tuple(strides), resolution,
-                                                  sr, 2, plan)
+                                                  sr, 2, plan, fwd_plan)
         return multilevel_roi_align(feats, boxes, strides, resolution,
                                     sampling_ratio=sr)
 
