@@ -270,6 +270,7 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
     (identical to pooling garbage and masking downstream — callers treat
     padded RoIs the same either way).
     """
+    import os
     B, R = boxes.shape[:2]
     P = output_size
     S = sampling_ratio
@@ -279,6 +280,7 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
     wdt = features[0].dtype
     grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / (P * S)
 
+    chunk = int(os.environ.get("WEAKCUBE_RA_CHUNK", chunk))
     chunk = min(chunk, R)
     nc = -(-R // chunk)
     pad = nc * chunk - R
@@ -290,7 +292,12 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
                                - jnp.arange(size, dtype=jnp.float32)))
         return w.reshape(B, R, P, S, size).sum(3) / S
 
-    out = jnp.zeros((nc, B, chunk, P, P, C), wdt)
+    # scan stacks per-chunk pooled outputs (ys); levels add into `out`
+    # afterwards. (An earlier formulation threaded the accumulator through
+    # the scan's xs/ys — structurally unlike the long-proven matmul_bwd
+    # scan and implicated in a TPU worker crash; this one mirrors
+    # matmul_bwd's plain scan shape.)
+    out = None
     for l, f in enumerate(features):
         H, W = f.shape[1], f.shape[2]
         scale = 1.0 / strides[l]
@@ -309,12 +316,13 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
         wx = wx.reshape(B, nc, chunk, P, W).transpose(1, 0, 2, 3, 4)
 
         def body(carry, xs):
-            wyk, wxk, acc = xs
+            wyk, wxk = xs
             v = jnp.einsum("bkpy,byxc->bkpxc", wyk, f)
-            acc = acc + jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
-            return carry, acc
+            o = jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
+            return carry, o
 
-        _, out = jax.lax.scan(body, 0, (wy, wx, out))
+        _, ys = jax.lax.scan(body, 0, (wy, wx))   # (nc, B, chunk, P, P, C)
+        out = ys if out is None else out + ys
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, nc * chunk, P, P, C)
     return out[:, :R]
 
@@ -345,6 +353,7 @@ def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
                chunk: int = 64):
     """Gradient of multilevel ROIAlign w.r.t. the feature pyramid via dense
     per-level contractions (no scatter). Args as `windowed_scatter_bwd`."""
+    import os
     B, R = boxes.shape[:2]
     P = output_size
     S = sampling_ratio
@@ -353,6 +362,7 @@ def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
     wdt = g.dtype  # bf16 on the TPU compute path keeps the matmuls on-MXU
     grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / (P * S)
 
+    chunk = int(os.environ.get("WEAKCUBE_RA_CHUNK", chunk))
     chunk = min(chunk, R)
     nc = -(-R // chunk)
     pad = nc * chunk - R
