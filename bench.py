@@ -163,8 +163,16 @@ def bench_train(rtt):
     flops = None
     if not _env_flag("BENCH_SKIP_COST"):
         try:
-            lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
-                cell["s"], batch, jax.random.fold_in(rng, 2))
+            if hasattr(step, "jit_grads"):
+                # split-step mode: the grads program holds ~all the flops
+                # (the update program is O(params) elementwise); lowering the
+                # combined step through one outer jit would rebuild the
+                # monolithic graph the split exists to avoid (worker crash)
+                lowered = step.jit_grads.lower(
+                    cell["s"], batch, jax.random.fold_in(rng, 2))
+            else:
+                lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
+                    cell["s"], batch, jax.random.fold_in(rng, 2))
             cost = lowered.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]

@@ -77,3 +77,30 @@ class TestStabilisation:
         assert float(logs["diverging"]) == 0.0
         assert int(s3.applied) == 2
         assert np.all(np.isfinite(np.asarray(s3.params["w"])))
+
+
+class TestSplitStepParity:
+    def test_split_matches_monolithic(self):
+        # the two-program split (round-3 worker-crash workaround) must be
+        # bit-identical to the monolithic step over several updates,
+        # including a skip step (non-finite batch)
+        model = ToyModel()
+        tx = optax.sgd(0.01)
+        batch = {"x": jnp.ones((4,)), "y": jnp.asarray(2.0)}
+        bad = {"x": jnp.full((4,), jnp.nan), "y": jnp.asarray(2.0)}
+        s_a = make_state(model, tx, batch)
+        s_b = jax.tree_util.tree_map(jnp.copy, s_a)
+        step_a = make_train_step(model, tx, split=False)
+        step_b = make_train_step(model, tx, split=True)
+        for i, b in enumerate([batch, bad, batch, batch]):
+            rng = jax.random.PRNGKey(i)
+            s_a, logs_a = step_a(s_a, b, rng)
+            s_b, logs_b = step_b(s_b, b, rng)
+            assert set(logs_a) == set(logs_b)
+            for k in logs_a:
+                np.testing.assert_array_equal(
+                    np.asarray(logs_a[k]), np.asarray(logs_b[k]),
+                    err_msg=f"log {k} step {i}")
+        for pa, pb in zip(jax.tree_util.tree_leaves(s_a),
+                          jax.tree_util.tree_leaves(s_b)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

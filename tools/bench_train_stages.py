@@ -198,11 +198,17 @@ def main():
             {"params": p, "batch_stats": batch_stats},
             batch, train=True, rng=r2, mutable=["batch_stats"])
         return jnp.sum(jnp.stack(list(losses.values())))
+    def measure2(tag, thunk):
+        t0 = time.perf_counter()
+        try:
+            results[tag] = timed(thunk)
+            print(f"# {tag} compiled+timed in {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# {tag} FAILED: {e!r}", file=sys.stderr)
+
     f = jax.jit(fwd)
-    t0 = time.perf_counter()
-    results["fwd_only"] = timed(lambda: f(params))
-    print(f"# fwd_only compiled+timed in {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
+    measure2("fwd_only", lambda: f(params))
 
     # forward + backward, no optimizer (consume the grads via a global-norm
     # scalar or XLA dead-code-eliminates the whole backward)
@@ -210,17 +216,44 @@ def main():
         val, grads = jax.value_and_grad(fwd)(p)
         return val + 0.0 * optax.global_norm(grads)
     g = jax.jit(loss_and_gnorm)
-    t0 = time.perf_counter()
-    results["fwd_bwd"] = timed(lambda: g(params))
-    print(f"# fwd_bwd compiled+timed in {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
+    measure2("fwd_bwd", lambda: g(params))
+
+    # variant: return the RAW grads pytree (like the split-step grads
+    # program) instead of consuming it into a norm — round-3 crash bisect
+    if os.environ.get("BENCH_STAGES_RET_GRADS"):
+        gr = jax.jit(lambda p: jax.value_and_grad(fwd)(p))
+
+        def _ret():
+            val, grads = gr(params)
+            return val
+        measure2("fwd_bwd_ret_grads", _ret)
+
+    # split-step programs individually (round-3 crash bisect):
+    # BENCH_STAGES_GRADS_ONLY=1 runs only program 1 (fwd+bwd+all outputs);
+    # =2 also runs program 2 (stabilise+optimizer) fed from program 1
+    go = os.environ.get("BENCH_STAGES_GRADS_ONLY")
+    if go:
+        sp = make_train_step(model, tx, split=True)
+        measure2("split_prog1",
+                 lambda: sp.jit_grads(state, batch, r2)[1])
+        if go == "2":
+            grads, total, losses, metrics, new_bs = sp.jit_grads(
+                state, batch, r2)
+
+            def _p2():
+                ns, div, gf = sp.jit_update(
+                    jax.tree_util.tree_map(jnp.copy, state),
+                    jax.tree_util.tree_map(jnp.copy, grads), total, new_bs)
+                return ns.loss_ema
+            measure2("split_prog2", _p2)
+        for k, v in results.items():
+            print(json.dumps({"metric": f"train_stage_{k}",
+                              "value": round(v * 1e3, 1), "unit": "ms/step"}))
+        return
 
     # full production step (donates state — run last on this state)
     step = make_train_step(model, tx)
-    t0 = time.perf_counter()
-    results["full"] = timed(stepper(step, state, batch))
-    print(f"# full compiled+timed in {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
+    measure2("full", stepper(step, state, batch))
 
     # loss ablations: recipe = iou + z_pseudo_gt_center + pose_alignment +
     # pose_ground; add each to the iou base to price it individually

@@ -128,6 +128,10 @@ def multilevel_roi_align(
                 + xx[..., None, :])
 
     dt = flat.dtype  # stay in the feature dtype (bf16 halves peak HBM)
+    # (A bf16->int32 pair-packed gather was tried to vectorize the row
+    # gather — it OOMed the v5e at recipe scale: the bitcast/reshape of the
+    # concatenated pyramid materializes multi-GB intermediates. The dense
+    # matmul_fwd plan below is the fast path instead.)
     samples = jnp.zeros((B, R, P, P, C), dt)
     corners = [
         (y_lo, x_lo, (1.0 - fy), (1.0 - fx)),
@@ -314,6 +318,11 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
         wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wy = wy.reshape(B, nc, chunk, P, H).transpose(1, 0, 2, 3, 4)
         wx = wx.reshape(B, nc, chunk, P, W).transpose(1, 0, 2, 3, 4)
+        # materialise the hat weights before the scan: inside the full train
+        # graph XLA otherwise fuses the weight construction into the scan
+        # body's einsums, and that fused kernel faults this chip's worker
+        # (standalone pooler graphs compile the same math fine)
+        wy, wx = jax.lax.optimization_barrier((wy, wx))
 
         def body(carry, xs):
             wyk, wxk = xs
@@ -441,16 +450,18 @@ def _mra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
     out = multilevel_roi_align_trainable(features_tuple, boxes, strides,
                                          output_size, sampling_ratio,
                                          min_level, bwd_plan, fwd_plan)
-    # residuals hold the feature arrays only for their shapes/dtypes (the op
-    # is linear in features; in training they are alive anyway)
-    return out, (boxes, features_tuple)
+    # the backward needs only each level's (B, H, W, C) shape and dtype —
+    # carry zero-size views (f[:0]) instead of the arrays so the residuals
+    # can never extend the features' liveness into the backward pass
+    return out, (boxes, tuple(f[:0] for f in features_tuple))
 
 
 def _mra_bwd(strides, output_size, sampling_ratio, min_level, bwd_plan,
              fwd_plan, res, g):
-    boxes, features_tuple = res
-    shapes = tuple(f.shape for f in features_tuple)
-    dtypes = tuple(f.dtype for f in features_tuple)
+    boxes, feat_meta = res
+    B = boxes.shape[0]
+    shapes = tuple((B,) + f.shape[1:] for f in feat_meta)
+    dtypes = tuple(f.dtype for f in feat_meta)
     fn = matmul_bwd if bwd_plan == "matmul" else windowed_scatter_bwd
     grads = fn(shapes, dtypes, boxes, g, strides, output_size,
                sampling_ratio, min_level)
