@@ -193,6 +193,8 @@ def main():
         bg = jax.jit(lambda p: optax.global_norm(jax.grad(bb_fwd)(p)))
         measure("backbone_fwd_bwd", lambda: bg(bb_params))
 
+    skip_fwd = os.environ.get("BENCH_STAGES_SKIP_FWD")
+
     def fwd(p):
         (losses, _m), _ = model.apply(
             {"params": p, "batch_stats": batch_stats},
@@ -208,7 +210,8 @@ def main():
             print(f"# {tag} FAILED: {e!r}", file=sys.stderr)
 
     f = jax.jit(fwd)
-    measure2("fwd_only", lambda: f(params))
+    if not skip_fwd:
+        measure2("fwd_only", lambda: f(params))
 
     # forward + backward, no optimizer (consume the grads via a global-norm
     # scalar or XLA dead-code-eliminates the whole backward)
@@ -216,7 +219,8 @@ def main():
         val, grads = jax.value_and_grad(fwd)(p)
         return val + 0.0 * optax.global_norm(grads)
     g = jax.jit(loss_and_gnorm)
-    measure2("fwd_bwd", lambda: g(params))
+    if not skip_fwd:
+        measure2("fwd_bwd", lambda: g(params))
 
     # variant: return the RAW grads pytree (like the split-step grads
     # program) instead of consuming it into a norm — round-3 crash bisect
@@ -227,6 +231,63 @@ def main():
             val, grads = gr(params)
             return val
         measure2("fwd_bwd_ret_grads", _ret)
+
+    # output-kind bisect (round-3): fwd+bwd works returning (val, grads);
+    # prog1 (= + losses + metrics + batch_stats) crashes. Which output?
+    if os.environ.get("BENCH_STAGES_OUT_BISECT"):
+        def fwd_full(p):
+            (losses, metrics), mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch, train=True, rng=r2, mutable=["batch_stats"])
+            total = jnp.sum(jnp.stack(list(losses.values())))
+            return total, (losses, metrics, mut.get("batch_stats", {}))
+
+        only_v5 = os.environ.get("BENCH_STAGES_ONLY_V5")
+        vg = jax.value_and_grad(fwd_full, has_aux=True)
+        jA = jax.jit(lambda p: ((lambda vt, g: (vt[0], g, vt[1][2]))(*vg(p))))
+        if not only_v5:
+            measure2("out_val_grads_bs", lambda: jA(params)[0])
+        jB = jax.jit(lambda p: ((lambda vt, g: (vt[0], g, vt[1][0], vt[1][1]))(*vg(p))))
+        if not only_v5:
+            measure2("out_val_grads_lossmetrics", lambda: jB(params)[0])
+        jC = jax.jit(lambda p: ((lambda vt, g: (vt[0], g, vt[1][0], vt[1][1], vt[1][2]))(*vg(p))))
+        if not only_v5:
+            measure2("out_all", lambda: jC(params)[0])
+
+        # argument-structure bisect: out_all works with params-as-arg +
+        # closures; the split jit_grads (TrainState/batch/rng as args)
+        # crashes. Walk the argument structure toward it.
+        def fwd_args(p, bs, bt, r):
+            (losses, metrics), mut = model.apply(
+                {"params": p, "batch_stats": bs},
+                bt, train=True, rng=r, mutable=["batch_stats"])
+            total = jnp.sum(jnp.stack(list(losses.values())))
+            return total, (losses, metrics, mut.get("batch_stats", {}))
+
+        vga = jax.value_and_grad(fwd_args, has_aux=True)
+        jV2 = jax.jit(lambda p, bt, r: vga(p, batch_stats, bt, r))
+        if not only_v5:
+            measure2("args_p_batch_rng",
+                     lambda: jV2(params, batch, r2)[0][0])
+        jV3 = jax.jit(vga)
+        if not only_v5:
+            measure2("args_p_bs_batch_rng",
+                     lambda: jV3(params, batch_stats, batch, r2)[0][0])
+        jV4 = jax.jit(lambda st, bt, r: vga(st.params, st.batch_stats, bt, r))
+        if not only_v5:
+            measure2("args_trainstate",
+                     lambda: jV4(state, batch, r2)[0][0])
+
+        # V2 crashed: sharded batch-as-ARG is the trigger. Does a PLAIN
+        # (SingleDeviceSharding) batch argument work?
+        batch_plain = jax.device_put(jax.device_get(batch))
+        jV5 = jax.jit(lambda p, bt, r: vga(p, batch_stats, bt, r))
+        measure2("args_batch_unsharded",
+                 lambda: jV5(params, batch_plain, r2)[0][0])
+        for k, v in results.items():
+            print(json.dumps({"metric": f"train_stage_{k}",
+                              "value": round(v * 1e3, 1), "unit": "ms/step"}))
+        return
 
     # split-step programs individually (round-3 crash bisect):
     # BENCH_STAGES_GRADS_ONLY=1 runs only program 1 (fwd+bwd+all outputs);

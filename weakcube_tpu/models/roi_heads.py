@@ -607,9 +607,16 @@ class ROIHeadsCommon(nn.Module):
                 "'matmul', 'windowed', 'autodiff'")
         # forward plan: the take_along_axis gather runs at ~3% of HBM
         # bandwidth at recipe scale (191 ms for the b25x512 box pooler,
-        # round-3 tools/bench_fwd_parts.py); the dense-contraction forward
-        # (same separable plan as the matmul backward) rides the MXU
-        fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", "matmul")
+        # round-3 tools/bench_fwd_parts.py); the dense-contraction "matmul"
+        # forward (same separable plan as the matmul backward) rides the
+        # MXU and measures 124.8 ms for the ENTIRE model forward (fwd_only,
+        # vs 307.5 with the gather) — but any full train graph containing
+        # it faults the current axon libtpu AT RUNTIME whenever the batch
+        # is a runtime argument (closure-constant batches, b<=4, fwd+bwd
+        # subgraphs, and the standalone pooler all run clean; bisected
+        # 2026-08-21, see NOTES_NEXT_ROUND). Until the toolchain moves,
+        # the default stays "gather"; flip with WEAKCUBE_RA_TRAIN_FWD.
+        fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", "gather")
         if fwd_plan not in ("matmul", "gather"):
             raise ValueError(
                 f"WEAKCUBE_RA_TRAIN_FWD={fwd_plan!r}: expected "

@@ -330,7 +330,13 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
             o = jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
             return carry, o
 
-        _, ys = jax.lax.scan(body, 0, (wy, wx))   # (nc, B, chunk, P, P, C)
+        if os.environ.get("WEAKCUBE_RA_FWD_UNROLL", "").lower() in \
+                ("1", "true"):
+            # statically unrolled chunk loop (no lax.scan) — crash-bisect
+            # variant: same math, different graph structure
+            ys = jnp.stack([body(0, (wy[i], wx[i]))[1] for i in range(nc)])
+        else:
+            _, ys = jax.lax.scan(body, 0, (wy, wx))  # (nc, B, chunk, P,P,C)
         out = ys if out is None else out + ys
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, nc * chunk, P, P, C)
     return out[:, :R]

@@ -76,7 +76,10 @@ def make_train_step(model, tx, remat: bool = False,
     """
     import os
     if split is None:
-        split = os.environ.get("WEAKCUBE_SPLIT_STEP", "1").lower() \
+        # default OFF: the monolithic step is the configuration measured
+        # end-to-end on the chip; the split exists for crash bisection and
+        # as an escape hatch (see the round-3 libtpu-fault notes)
+        split = os.environ.get("WEAKCUBE_SPLIT_STEP", "0").lower() \
             not in ("0", "false")
 
     def step_fn(state: TrainState, batch, rng):
