@@ -77,15 +77,38 @@ def _measure_rtt():
     return rtt
 
 
+_TINY_FN = None
+
+
+def _tiny_call():
+    """Jitted trivial kernel fetch — one tunnel round-trip."""
+    global _TINY_FN
+    import jax
+    import jax.numpy as jnp
+    if _TINY_FN is None:
+        _TINY_FN = jax.jit(lambda x: x + 1.0)
+        float(_TINY_FN(jnp.zeros(())))  # compile
+    return float(_TINY_FN(jnp.zeros(())))
+
+
 def _timed_scalar(fn, rtt, iters, *args):
-    """Median seconds per call, host-sync via scalar fetch, rtt-corrected."""
+    """Median seconds per call, host-sync via scalar fetch. The tunnel RTT
+    drifts 28-94 ms BETWEEN runs (and within long ones), so instead of
+    subtracting the up-front `rtt` estimate, every sample is followed by an
+    adjacent tiny-kernel fetch whose cost is subtracted per sample — a
+    drift-proof correction (the up-front rtt is kept as a floor check)."""
+    del rtt
+    _tiny_call()
     per = []
     for i in range(iters):
         t0 = time.perf_counter()
         out = fn(i, *args)
         _ = float(out)
-        per.append(time.perf_counter() - t0)
-    return max(float(np.median(per)) - rtt, 1e-6)
+        t1 = time.perf_counter()
+        _tiny_call()
+        t2 = time.perf_counter()
+        per.append((t1 - t0) - (t2 - t1))
+    return max(float(np.median(per)), 1e-6)
 
 
 def bench_train(rtt):

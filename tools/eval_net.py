@@ -74,7 +74,8 @@ def gt_records_from_raw(records):
 
 
 def do_test(cfg, args, records, loaders, model=None, variables=None,
-            proximity: bool = True, batch_size: int = 8, sharded=None):
+            proximity: bool = True, batch_size: int | None = None,
+            sharded=None):
     """sharded: None = shard inference over all visible devices when more
     than one is present (the reference's per-rank inference + gather,
     omni3d_evaluation.py:523-642, as SPMD batch sharding + host device_get);
@@ -91,6 +92,8 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
                                           print_ap_table)
 
     num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+    if batch_size is None:
+        batch_size = int(getattr(cfg.TEST, "IMS_PER_BATCH", 8))
     n_dev = jax.device_count()
     mesh = None
     if (sharded if sharded is not None else n_dev > 1) and n_dev > 1:

@@ -207,6 +207,10 @@ def build_default_cfg() -> CfgNode:
     # ---- test -----------------------------------------------------------
     c.TEST = CfgNode()
     c.TEST.EVAL_PERIOD = 0
+    # eval batch per chip (the reference's d2 test loader defaults to 1
+    # image/batch, build.py:222; batching is free win on TPU — the host
+    # per-batch overhead of the tunnel amortises over the batch)
+    c.TEST.IMS_PER_BATCH = 8
     c.TEST.DETECTIONS_PER_IMAGE = 100
     c.TEST.VISIBILITY_THRES = 1 / 2.0
     c.TEST.TRUNCATION_THRES = 1 / 2.0

@@ -263,7 +263,7 @@ def windowed_scatter_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
 
 def matmul_fwd(features, boxes, strides, output_size: int = 7,
                sampling_ratio: int = 2, min_level: int = 2,
-               chunk: int = 64) -> jnp.ndarray:
+               chunk: int = 128) -> jnp.ndarray:
     """Gather-free multilevel ROIAlignV2 via dense per-level contractions.
 
     features: list of (B, H_l, W_l, C) NHWC maps. boxes: (B, R, 4) XYXY.
@@ -365,7 +365,7 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
 
 def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
                output_size: int, sampling_ratio: int, min_level: int,
-               chunk: int = 64):
+               chunk: int = 128):
     """Gradient of multilevel ROIAlign w.r.t. the feature pyramid via dense
     per-level contractions (no scatter). Args as `windowed_scatter_bwd`."""
     import os
