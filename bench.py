@@ -339,6 +339,10 @@ def bench_inference(rtt):
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_INFER_IPS, 2),
+        # timing methodology tag: the regression check skips comparisons
+        # across methodologies (chained fori_loop vs the pre-r03
+        # single-call numbers differ by the amortised tunnel RTT)
+        "methodology": "chained",
     }))
 
 
@@ -374,7 +378,11 @@ def _run_stage_inline(name):
 
 
 def _previous_bench():
-    """Newest BENCH_r*.json in the repo root -> {metric: value}."""
+    """Newest BENCH_r*.json in the repo root -> {metric: record}.
+
+    Each record keeps "value" plus optional "methodology" so the regression
+    check can refuse apples-to-oranges comparisons (advisor r3: the chained
+    inference methodology must not be diffed against single-call numbers)."""
     here = os.path.dirname(os.path.abspath(__file__))
     best, best_n = None, -1
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -386,7 +394,9 @@ def _previous_bench():
     try:
         with open(best) as f:
             text = f.read()
-    except OSError:
+    except OSError as e:
+        print(f"# WARNING: could not read {best}: {e} — "
+              "regression check disabled for this run", file=sys.stderr)
         return {}
     prev = {}
     # the driver artifact embeds the bench stdout in a "tail" field; pull
@@ -395,9 +405,14 @@ def _previous_bench():
                          .replace('\\"', '"')):
         try:
             rec = json.loads(m.group(0))
-            prev[rec["metric"]] = rec["value"]
+            prev[rec["metric"]] = rec
         except (json.JSONDecodeError, KeyError):
             pass
+    if not prev:
+        # format drift in the driver artifact would otherwise silently turn
+        # the >5% regression guard into a no-op (VERDICT r3 weak #7)
+        print(f"# WARNING: no previous metrics parsed from {best} — "
+              "regression check disabled for this run", file=sys.stderr)
     return prev
 
 
@@ -446,13 +461,28 @@ def main():
     results = {}
     for name in stages:
         for rec in _run_stage_subprocess(name):
-            results[rec["metric"]] = rec["value"]
-    for metric, value in results.items():
-        if metric in prev and prev[metric] > 0:
-            delta = (value - prev[metric]) / prev[metric]
-            tag = "REGRESSION " if delta < -0.05 else ""
-            print(f"# {tag}{metric}: {value} vs previous {prev[metric]} "
-                  f"({delta:+.1%})", file=sys.stderr)
+            results[rec["metric"]] = rec
+    for metric, rec in results.items():
+        p = prev.get(metric)
+        if not p or p.get("value", 0) <= 0:
+            continue
+        meth_now, meth_prev = rec.get("methodology"), p.get("methodology")
+        if meth_now is not None and meth_prev is not None \
+                and meth_now != meth_prev:
+            print(f"# {metric}: methodology changed "
+                  f"({meth_prev} -> {meth_now}); skipping regression delta",
+                  file=sys.stderr)
+            continue
+        if meth_now is not None and meth_prev is None:
+            # pre-label artifact (BENCH_r03 measured chained before the tag
+            # existed) — compare, but say what is being assumed
+            print(f"# {metric}: previous record has no methodology tag; "
+                  f"assuming {meth_now!r}", file=sys.stderr)
+        value = rec["value"]
+        delta = (value - p["value"]) / p["value"]
+        tag = "REGRESSION " if delta < -0.05 else ""
+        print(f"# {tag}{metric}: {value} vs previous {p['value']} "
+              f"({delta:+.1%})", file=sys.stderr)
 
 
 if __name__ == "__main__":

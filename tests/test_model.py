@@ -193,3 +193,33 @@ class TestAllWeakLosses:
         for k in ["Cube/loss_z", "Cube/loss_depth", "Cube/loss_seg"]:
             assert k in losses, sorted(losses)
             assert np.isfinite(float(losses[k])), k
+
+
+class TestPrecomputedAnchorLabels:
+    def test_rpn_labels_input_bit_identical(self):
+        """batch["rpn_labels"] from make_anchor_labeler must reproduce the
+        in-graph labelling bit-for-bit (the round-4 libtpu-escape plumbing
+        must not change any numerics)."""
+        from weakcube_tpu.models.rcnn3d import make_anchor_labeler
+        cfg = tiny_cfg()
+        cfg.TPU.IMAGE_SIZE = 128
+        model = build_model(cfg)
+        batch = tiny_batch()
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, batch, train=True,
+                               rng=jax.random.fold_in(rng, 1))
+        step_rng = jax.random.fold_in(rng, 2)
+
+        losses_a, _ = model.apply(variables, batch, train=True, rng=step_rng,
+                                  mutable=["batch_stats"])[0]
+        labeler = make_anchor_labeler(cfg, (128, 128))
+        labels = labeler(step_rng, batch["gt"])
+        losses_b, _ = model.apply(variables,
+                                  dict(batch, rpn_labels=labels),
+                                  train=True, rng=step_rng,
+                                  mutable=["batch_stats"])[0]
+        assert set(losses_a) == set(losses_b)
+        for k in losses_a:
+            np.testing.assert_array_equal(np.asarray(losses_a[k]),
+                                          np.asarray(losses_b[k]),
+                                          err_msg=k)

@@ -16,21 +16,47 @@ import numpy as np
 logger = logging.getLogger("weakcube_tpu.eval")
 
 
-def detections_to_records(det, batch, detections_per_image: int):
-    """Device Detections -> per-image numpy eval records (rescaled to the
-    original resolution, like GeneralizedRCNN._postprocess)."""
+# Detections fields the host records actually read — the jitted eval step
+# returns ONLY these (scores_full alone is (B, D, C+1) of dead transfer on
+# the tunnel-attached TPU, and fewer leaves = fewer fetch round-trips).
+FETCH_FIELDS = ("boxes", "scores", "classes", "valid",
+                "centers3D", "dims3D", "poses3D", "scores3D")
+
+
+def make_fetch_eval_step(model):
+    """Jitted inference step returning the trimmed numpy-bound dict instead
+    of the full Detections (VERDICT r3 next #3: fetched-field trimming)."""
     import jax
+
+    def f(params, batch_stats, b):
+        det = model.apply({"params": params, "batch_stats": batch_stats},
+                          b, train=False)
+        out = {}
+        for k in FETCH_FIELDS:
+            v = getattr(det, k)
+            if v is not None:
+                out[k] = v
+        return out
+    return jax.jit(f)
+
+
+def detections_to_records(fetched, batch, detections_per_image: int):
+    """Host-fetched eval-step dict -> per-image numpy eval records (rescaled
+    to the original resolution, like GeneralizedRCNN._postprocess)."""
     from weakcube_tpu.ops import cuboids as cub
     out = []
-    det = jax.device_get(det)   # ONE host transfer for every field
-    boxes = np.asarray(det.boxes)
-    scores = np.asarray(det.scores)
-    classes = np.asarray(det.classes)
-    valid = np.asarray(det.valid)
-    centers = np.asarray(det.centers3D) if det.centers3D is not None else None
-    dims = np.asarray(det.dims3D) if det.dims3D is not None else None
-    poses = np.asarray(det.poses3D) if det.poses3D is not None else None
-    s3d = np.asarray(det.scores3D) if det.scores3D is not None else scores
+    boxes = np.asarray(fetched["boxes"])
+    scores = np.asarray(fetched["scores"])
+    classes = np.asarray(fetched["classes"])
+    valid = np.asarray(fetched["valid"])
+    centers = np.asarray(fetched["centers3D"]) \
+        if fetched.get("centers3D") is not None else None
+    dims = np.asarray(fetched["dims3D"]) \
+        if fetched.get("dims3D") is not None else None
+    poses = np.asarray(fetched["poses3D"]) \
+        if fetched.get("poses3D") is not None else None
+    s3d = np.asarray(fetched["scores3D"]) \
+        if fetched.get("scores3D") is not None else scores
     B = boxes.shape[0]
     for b in range(B):
         m = valid[b]
@@ -86,7 +112,6 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
     from weakcube_tpu.models.priors import compute_priors
     from weakcube_tpu.models.rcnn3d import build_model
     from weakcube_tpu.parallel import make_mesh, replicate, shard_batch
-    from weakcube_tpu.parallel.train_step import make_eval_step
     from weakcube_tpu.vis.logperf import (print_ap_analysis_histogram,
                                           print_ap_category_histogram,
                                           print_ap_table)
@@ -137,7 +162,7 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
 
     if mesh is not None:
         variables = replicate(variables, mesh)
-    eval_step = make_eval_step(model)
+    eval_step = make_fetch_eval_step(model)
     gt_recs = {g["image_id"]: g for g in gt_records_from_raw(records)}
     # multi-dataset: one evaluator per source dataset + pooled summarize_all
     # (reference Omni3DEvaluationHelper, omni3d_evaluation.py:168-520)
@@ -166,21 +191,20 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
     from weakcube_tpu.data.build import prefetch
     it = prefetch(build_test_batches(cfg, records, batch_size=batch_size,
                                      loaders=loaders))
-    while True:
-        td = time.time()
-        batch = next(it, None)
-        data_times.append(time.time() - td)
-        if batch is None:
-            break
-        model_batch = {k: batch[k] for k in
-                       ("image", "image_wh", "K", "gt", "depth_map",
-                        "ground_mask", "ground_valid") if k in batch}
-        if mesh is not None:
-            model_batch = shard_batch(model_batch, mesh)
-        det = eval_step(variables["params"], variables["batch_stats"], model_batch)
-        # eval-time JPEG dumps (reference vis.visualize_from_instances)
+    def process(out_dev, batch):
+        """Fetch one dispatched batch's trimmed outputs and feed the
+        evaluator. Called AFTER the next batch has been dispatched, so the
+        device_get (a tunnel round-trip on remote TPUs) and the host record
+        building overlap with the next batch's on-device compute."""
+        nonlocal n_img, vis_budget
+        fetched = jax.device_get(out_dev)
         if vis_budget > 0:
+            # eval-time JPEG dumps (reference vis.visualize_from_instances)
+            import types
+
             from weakcube_tpu.vis.vis import visualize_from_instances
+            shim = types.SimpleNamespace(**{
+                k: fetched.get(k) for k in FETCH_FIELDS})
             vdir = os.path.join(cfg.OUTPUT_DIR, "eval_vis")
             os.makedirs(vdir, exist_ok=True)
             for i in range(min(vis_budget, len(batch["image_id"]))):
@@ -189,15 +213,35 @@ def do_test(cfg, args, records, loaders, model=None, variables=None,
                 if cfg.INPUT.FORMAT == "BGR":
                     img = img[..., ::-1]
                 visualize_from_instances(
-                    np.clip(img, 0, 255), np.asarray(batch["K"][i]), det, i,
+                    np.clip(img, 0, 255), np.asarray(batch["K"][i]), shim, i,
                     os.path.join(vdir, f"{int(batch['image_id'][i])}_pred.jpg"))
                 vis_budget -= 1
-        for rec in detections_to_records(det, batch, cfg.TEST.DETECTIONS_PER_IMAGE):
+        for rec in detections_to_records(fetched, batch,
+                                         cfg.TEST.DETECTIONS_PER_IMAGE):
             # only count records the evaluator actually accepted: aspect
             # buckets pad each tail batch by repeating the last example, and
             # add() silently drops those duplicates
             if rec["image_id"] in gt_recs and add_record(rec):
                 n_img += 1
+
+    pending = None   # (dispatched outputs, host batch) awaiting fetch
+    while True:
+        td = time.time()
+        batch = next(it, None)
+        data_times.append(time.time() - td)
+        if batch is not None:
+            model_batch = {k: batch[k] for k in
+                           ("image", "image_wh", "K", "gt", "depth_map",
+                            "ground_mask", "ground_valid") if k in batch}
+            if mesh is not None:
+                model_batch = shard_batch(model_batch, mesh)
+            out_dev = eval_step(variables["params"], variables["batch_stats"],
+                                model_batch)
+        if pending is not None:
+            process(*pending)
+        if batch is None:
+            break
+        pending = (out_dev, batch)
         shape = tuple(batch["image"].shape)
         dt_b = time.time() - tb
         tb = time.time()

@@ -210,7 +210,9 @@ def build_default_cfg() -> CfgNode:
     # eval batch per chip (the reference's d2 test loader defaults to 1
     # image/batch, build.py:222; batching is free win on TPU — the host
     # per-batch overhead of the tunnel amortises over the batch)
-    c.TEST.IMS_PER_BATCH = 8
+    # 32 amortises the tunnel RTT and keeps the chip busy: the r03 eval
+    # loop at b8 spent ~22 ms computing per 277 ms batch (VERDICT r3 #3)
+    c.TEST.IMS_PER_BATCH = 32
     c.TEST.DETECTIONS_PER_IMAGE = 100
     c.TEST.VISIBILITY_THRES = 1 / 2.0
     c.TEST.TRUNCATION_THRES = 1 / 2.0
@@ -249,4 +251,22 @@ def build_default_cfg() -> CfgNode:
     # the data pipeline instead of 1000-hypothesis RANSAC in every step
     c.TPU.CACHE_GROUND_NORMALS = True
     c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
+    # ---- training ROIAlign plans + step structure -----------------------
+    # (YAML-first; the WEAKCUBE_* env vars of the same spelling override at
+    # trace time for bench sweeps — see README "Environment overrides".)
+    # Forward plan inside train graphs: "gather" (take_along_axis; ~3% HBM
+    # bandwidth at recipe scale but robust) or "matmul" (dense separable
+    # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured, but
+    # faults the 2026-08 axon libtpu inside full train graphs).
+    c.TPU.ROI_ALIGN_TRAIN_FWD = "gather"    # env: WEAKCUBE_RA_TRAIN_FWD
+    # Feature-gradient plan: "matmul" (scatter-free, default), "windowed"
+    # (blocked scatter_add), or "autodiff" (XLA per-corner scatter).
+    c.TPU.ROI_ALIGN_TRAIN_BWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_BWD
+    # RoI-axis chunk for the matmul plans' lax.scan (bounds the
+    # (B, chunk, P, W, C) intermediate).
+    c.TPU.ROI_ALIGN_CHUNK = 128             # env: WEAKCUBE_RA_CHUNK
+    # Compile the train step as two XLA programs (grads | update) instead of
+    # one monolith — bit-identical, tested; escape hatch for libtpu faults
+    # that only the monolithic graph triggers.
+    c.TPU.SPLIT_TRAIN_STEP = False          # env: WEAKCUBE_SPLIT_STEP
     return c

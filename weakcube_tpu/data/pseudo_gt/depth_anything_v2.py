@@ -155,7 +155,10 @@ class Block(nn.Module):
         x = x + h * ls1.astype(self.dtype)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU: torch nn.GELU defaults to the exact form
+        # (dinov2.py act_layer=nn.GELU); flax's default tanh approximation
+        # drifts ~1e-3 per layer against converted checkpoints
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
         return x + h * ls2.astype(self.dtype)
@@ -202,12 +205,17 @@ class DINOv2(nn.Module):
             seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, 0)
 
         taps = set(TAP_LAYERS[self.variant])
+        # every tap goes through the encoder's FINAL LayerNorm before the
+        # DPT head — dinov2.py get_intermediate_layers defaults norm=True
+        # and dpt.py calls it without overriding
+        final_norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         outs = []
         for i in range(depth):
             tokens = Block(dim, heads, self.dtype, name=f"block{i}")(tokens,
                                                                      seg)
             if i in taps:
-                outs.append(tokens[:, 1:N].reshape(B, gh, gw, dim))
+                outs.append(final_norm(tokens)[:, 1:N].reshape(B, gh, gw,
+                                                               dim))
         return outs
 
 
@@ -224,12 +232,62 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
+def _ac_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) align_corners=True bilinear interpolation matrix — static
+    (host numpy at trace time), so each resize is one small MXU matmul per
+    axis instead of a gather. Matches torch F.interpolate(align_corners=
+    True): src = i * (in-1)/(out-1)."""
+    W = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1 or out_size == 1:
+        W[:, 0] = 1.0
+        return W
+    src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    lo = np.minimum(np.floor(src).astype(np.int64), in_size - 2)
+    f = (src - lo).astype(np.float32)
+    W[np.arange(out_size), lo] += 1.0 - f
+    W[np.arange(out_size), lo + 1] += f
+    return W
+
+
 def _resize(x, hw):
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear")
+    """align_corners=True bilinear (the reference decoder's only resize
+    mode, blocks.py:144 and dpt.py:146)."""
+    if tuple(x.shape[1:3]) == tuple(hw):
+        return x
+    wy = jnp.asarray(_ac_matrix(hw[0], x.shape[1]), x.dtype)
+    wx = jnp.asarray(_ac_matrix(hw[1], x.shape[2]), x.dtype)
+    x = jnp.einsum("Oh,bhwc->bOwc", wy, x)
+    return jnp.einsum("Ow,bhwc->bhOc", wx, x)
+
+
+class _BlockUpsample(nn.Module):
+    """torch ConvTranspose2d with kernel_size == stride == k (the DPT
+    resize_layers, dpt.py:61-73): every input pixel expands into a learned
+    k x k output block — expressed as one einsum + reshape (no overlap, so
+    a real transposed conv is overkill)."""
+
+    features: int
+    k: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.k, self.k, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        h = jnp.einsum("bijc,hwco->bihjwo", x, kern.astype(self.dtype))
+        h = h.reshape(B, H * self.k, W * self.k, self.features)
+        return h + bias.astype(self.dtype)
 
 
 class DPTHead(nn.Module):
-    """Reassemble + fusion decoder -> metric depth (dpt.py DPTHead)."""
+    """Reassemble + fusion decoder -> metric depth. Faithful graph of the
+    reference DPTHead (dpt.py:38-149 + util/blocks.py): learned resize
+    layers (ConvTranspose 4x/2x, identity, strided 3x3), refinenet fusion
+    where resConfUnit1 transforms the LATERAL and the upsample+1x1 out_conv
+    close each block, then output_conv1 -> full-res resize -> output_conv2.
+    All interpolation is align_corners=True bilinear like the reference."""
 
     variant: str = "vitl"
     max_depth: float = 20.0
@@ -239,35 +297,50 @@ class DPTHead(nn.Module):
     def __call__(self, taps: Sequence[jnp.ndarray], out_hw: Tuple[int, int]):
         dim, _, _, features, out_ch = VIT_SPECS[self.variant]
         B, gh, gw, _ = taps[0].shape
-        # reassemble: project each tap + rescale to strides (4, 2, 1, 0.5)x grid
-        scales = (4, 2, 1, 0.5)
+        # reassemble: 1x1 project + learned rescale to (4, 2, 1, 0.5)x grid
+        # (dpt.py projects + resize_layers), then the 3x3 no-bias scratch
+        # convs onto the common `features` width
         levels = []
-        for i, (t, ch, s) in enumerate(zip(taps, out_ch, scales)):
+        for i, (t, ch) in enumerate(zip(taps, out_ch)):
             h = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"project{i}")(t)
-            hw = (int(gh * s), int(gw * s))
-            h = _resize(h, hw)
+            if i == 0:
+                h = _BlockUpsample(ch, 4, self.dtype, name="resize0")(h)
+            elif i == 1:
+                h = _BlockUpsample(ch, 2, self.dtype, name="resize1")(h)
+            elif i == 3:
+                h = nn.Conv(ch, (3, 3), (2, 2), padding=1,
+                            dtype=self.dtype, name="resize3")(h)
             h = nn.Conv(features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"scratch{i}")(h)
             levels.append(h)
 
-        # top-down fusion (refinenet): coarsest first
-        fused = None
+        # top-down fusion, coarsest first (dpt.py:140-143). Each refinenet:
+        #   path = out_conv(up(rcu_out(path + rcu_skip(lateral)), size))
+        # where rcu_skip (resConfUnit1) is absent for the coarsest block and
+        # `size` is the NEXT lateral's resolution (scale 2 for the last).
+        path = None
         for i in range(3, -1, -1):
-            h = levels[i]
-            if fused is not None:
-                fused = _resize(fused, h.shape[1:3])
-                h = h + ResidualConvUnit(features, self.dtype,
-                                         name=f"rcu_skip{i}")(fused)
+            if path is None:
+                h = levels[i]
+            else:
+                h = path + ResidualConvUnit(features, self.dtype,
+                                            name=f"rcu_skip{i}")(levels[i])
             h = ResidualConvUnit(features, self.dtype, name=f"rcu_out{i}")(h)
-            fused = h
-        fused = _resize(fused, (out_hw[0] // 2, out_hw[1] // 2))
+            if i > 0:
+                target = levels[i - 1].shape[1:3]
+            else:
+                target = (2 * h.shape[1], 2 * h.shape[2])
+            h = _resize(h, target)
+            path = nn.Conv(features, (1, 1), dtype=self.dtype,
+                           name=f"fusion_out{i}")(h)
+
         h = nn.Conv(features // 2, (3, 3), padding=1, dtype=self.dtype,
-                    name="out_conv1")(fused)
+                    name="out_conv1")(path)
         h = _resize(h, out_hw)
         h = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="out_conv2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_conv3")(h)
-        # metric head: sigmoid * max_depth (dpt.py:152-185)
+        # metric head: sigmoid * max_depth (dpt.py:108-114,183)
         return jax.nn.sigmoid(h.astype(jnp.float32))[..., 0] * self.max_depth
 
 
@@ -330,6 +403,10 @@ def convert_torch_checkpoint(state_dict: Dict[str, "np.ndarray"],
             "ls2_gamma": sd.get(pre + "ls2.gamma", np.ones(dim, np.float32)),
         }
         bb[f"block{i}"] = blk
+    # the encoder's final LayerNorm — applied to every tap
+    # (get_intermediate_layers norm=True default)
+    bb["norm"] = {"scale": sd["pretrained.norm.weight"],
+                  "bias": sd["pretrained.norm.bias"]}
 
     hd = p["head"]
     for i in range(4):
@@ -338,18 +415,34 @@ def convert_torch_checkpoint(state_dict: Dict[str, "np.ndarray"],
             "bias": sd[f"depth_head.projects.{i}.bias"]}
         hd[f"scratch{i}"] = {
             "kernel": conv_kernel(sd[f"depth_head.scratch.layer{i + 1}_rn.weight"])}
+    # resize_layers: 0/1 are ConvTranspose2d with kernel==stride (torch
+    # weight (C, O, kh, kw) -> our _BlockUpsample (kh, kw, C, O)); 3 is a
+    # plain strided conv; 2 is Identity (no params)
+    for i, key in ((0, "resize0"), (1, "resize1")):
+        w = sd[f"depth_head.resize_layers.{i}.weight"]
+        hd[key] = {"kernel": np.transpose(w, (2, 3, 0, 1)),
+                   "bias": sd[f"depth_head.resize_layers.{i}.bias"]}
+    hd["resize3"] = {
+        "kernel": conv_kernel(sd["depth_head.resize_layers.3.weight"]),
+        "bias": sd["depth_head.resize_layers.3.bias"]}
     for i in range(4):
         rn = f"depth_head.scratch.refinenet{i + 1}."
-        hd[f"rcu_skip{i}"] = {
-            "conv1": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv1.weight"]),
-                      "bias": sd[rn + "resConfUnit1.conv1.bias"]},
-            "conv2": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv2.weight"]),
-                      "bias": sd[rn + "resConfUnit1.conv2.bias"]}}
+        if i < 3:
+            # refinenet4's resConfUnit1 exists in checkpoints but is dead
+            # (blocks.py:131 — only 2-input fusion blocks use it)
+            hd[f"rcu_skip{i}"] = {
+                "conv1": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv1.weight"]),
+                          "bias": sd[rn + "resConfUnit1.conv1.bias"]},
+                "conv2": {"kernel": conv_kernel(sd[rn + "resConfUnit1.conv2.weight"]),
+                          "bias": sd[rn + "resConfUnit1.conv2.bias"]}}
         hd[f"rcu_out{i}"] = {
             "conv1": {"kernel": conv_kernel(sd[rn + "resConfUnit2.conv1.weight"]),
                       "bias": sd[rn + "resConfUnit2.conv1.bias"]},
             "conv2": {"kernel": conv_kernel(sd[rn + "resConfUnit2.conv2.weight"]),
                       "bias": sd[rn + "resConfUnit2.conv2.bias"]}}
+        hd[f"fusion_out{i}"] = {
+            "kernel": conv_kernel(sd[rn + "out_conv.weight"]),
+            "bias": sd[rn + "out_conv.bias"]}
     hd["out_conv1"] = {
         "kernel": conv_kernel(sd["depth_head.scratch.output_conv1.weight"]),
         "bias": sd["depth_head.scratch.output_conv1.bias"]}

@@ -76,13 +76,24 @@ class RCNN3DBase(nn.Module):
         rpn_loss = {}
         if train:
             gt = batch["gt"]
-            lab = rpn_lib.label_and_sample_anchors(
-                rng_rpn, anchors_all, gt,
-                cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
-                cfg.MODEL.RPN.POSITIVE_FRACTION,
-                cfg.MODEL.RPN.IOU_THRESHOLDS,
-                [0, -1, 1],
-                cfg.MODEL.RPN.IGNORE_THRESHOLD)
+            if "rpn_labels" in batch:
+                # precomputed anchor labels (parallel.make_anchor_labeler):
+                # labelling depends only on (rng, static anchors, gt), so it
+                # can run in its own tiny program per step — bit-identical
+                # when keyed with split(step_rng)[0]. This keeps the gt-only
+                # IoU/sampling kernels out of the big grads program, one of
+                # the two subgraphs that separate the libtpu-crashing
+                # batch-as-argument matmul-fwd graph from the clean
+                # batch-as-constant one (round-4 bisect).
+                lab = batch["rpn_labels"]
+            else:
+                lab = rpn_lib.label_and_sample_anchors(
+                    rng_rpn, anchors_all, gt,
+                    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+                    cfg.MODEL.RPN.POSITIVE_FRACTION,
+                    cfg.MODEL.RPN.IOU_THRESHOLDS,
+                    [0, -1, 1],
+                    cfg.MODEL.RPN.IGNORE_THRESHOLD)
             rpn_loss = rpn_lib.rpn_losses(
                 anchors_all, jnp.concatenate(logits, 1),
                 jnp.concatenate(deltas, 1), lab,
@@ -156,6 +167,41 @@ class RCNN3DCombinedFeatures(RCNN3DBase):
             return losses, metrics
         return self.roi_heads(feats, proposals, None, batch["K"],
                               batch["image_wh"], train=False)
+
+
+def make_anchor_labeler(cfg, image_hw: Optional[tuple] = None):
+    """Jitted `(step_rng, gt) -> RPNLabels`, bit-identical to the in-graph
+    anchor labelling (same `jax.random.split(rng)[0]` key the meta-arch
+    derives). Feed the result as `batch["rpn_labels"]` to move the gt-only
+    IoU + sampling kernels into their own tiny XLA program — structurally
+    identical math, but the big train program then takes the labels as
+    plain inputs (round-4 libtpu-fault escape; see
+    RCNN3DBase._features_and_proposals)."""
+    if image_hw is None:
+        s = cfg.TPU.IMAGE_SIZE
+        image_hw = (s, s)
+    in_feats = list(cfg.MODEL.RPN.IN_FEATURES)
+    bb = build_backbone(cfg, jnp.float32)
+    strides = [bb.STRIDES[f] for f in in_feats]
+    # SAME-padded stride-s convs produce ceil(dim / s) maps — matches the
+    # shapes the backbone emits for every canvas the buckets produce
+    shapes = [(-(-image_hw[0] // s), -(-image_hw[1] // s)) for s in strides]
+    anchors_lvl = anchor_lib.pyramid_anchors(
+        shapes, strides, cfg.MODEL.ANCHOR_GENERATOR.SIZES,
+        cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
+        cfg.MODEL.ANCHOR_GENERATOR.OFFSET)
+    anchors_all = jnp.concatenate(anchors_lvl, axis=0)
+
+    def labeler(step_rng, gt):
+        r1, _ = jax.random.split(step_rng)
+        return rpn_lib.label_and_sample_anchors(
+            r1, anchors_all, gt,
+            cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            cfg.MODEL.RPN.POSITIVE_FRACTION,
+            cfg.MODEL.RPN.IOU_THRESHOLDS,
+            [0, -1, 1],
+            cfg.MODEL.RPN.IGNORE_THRESHOLD)
+    return jax.jit(labeler)
 
 
 def build_model(cfg, priors: Optional[dict] = None, dtype=None):

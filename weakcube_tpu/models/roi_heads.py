@@ -595,37 +595,47 @@ class ROIHeadsCommon(nn.Module):
         #            TPU and this plan faults the v5e libtpu at compile
         #            ("TPU worker process crashed", bisected 2026-08-20)
         #   autodiff XLA's per-corner scatter of the gather forward
-        # WEAKCUBE_RA_TRAIN_BWD=matmul|windowed|autodiff overrides. NOTE:
-        # read at TRACE time — it must be set before the first train step is
-        # jit-compiled; changing it afterwards has no effect on the cached
-        # executable.
-        import os
-        plan = os.environ.get("WEAKCUBE_RA_TRAIN_BWD", "matmul")
-        if plan not in ("matmul", "windowed", "autodiff"):
-            raise ValueError(
-                f"WEAKCUBE_RA_TRAIN_BWD={plan!r}: expected one of "
-                "'matmul', 'windowed', 'autodiff'")
-        # forward plan: the take_along_axis gather runs at ~3% of HBM
+        # Forward plan: the take_along_axis gather runs at ~3% of HBM
         # bandwidth at recipe scale (191 ms for the b25x512 box pooler,
         # round-3 tools/bench_fwd_parts.py); the dense-contraction "matmul"
         # forward (same separable plan as the matmul backward) rides the
         # MXU and measures 124.8 ms for the ENTIRE model forward (fwd_only,
-        # vs 307.5 with the gather) — but any full train graph containing
-        # it faults the current axon libtpu AT RUNTIME whenever the batch
-        # is a runtime argument (closure-constant batches, b<=4, fwd+bwd
-        # subgraphs, and the standalone pooler all run clean; bisected
-        # 2026-08-21, see NOTES_NEXT_ROUND). Until the toolchain moves,
-        # the default stays "gather"; flip with WEAKCUBE_RA_TRAIN_FWD.
-        fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", "gather")
+        # vs 307.5 with the gather) — but full MONOLITHIC train graphs
+        # containing it fault the 2026-08 axon libtpu whenever the batch is
+        # a runtime argument (bisect in NOTES_NEXT_ROUND).
+        # Both plans come from cfg.TPU (YAML-first); the WEAKCUBE_RA_* env
+        # vars override at TRACE time (bench sweeps) — set before the first
+        # train step compiles; later changes don't touch cached executables.
+        import os
+        plan = os.environ.get("WEAKCUBE_RA_TRAIN_BWD",
+                              self.cfg.TPU.ROI_ALIGN_TRAIN_BWD)
+        if plan not in ("matmul", "windowed", "autodiff"):
+            raise ValueError(
+                f"ROI_ALIGN_TRAIN_BWD={plan!r}: expected one of "
+                "'matmul', 'windowed', 'autodiff'")
+        fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD",
+                                  self.cfg.TPU.ROI_ALIGN_TRAIN_FWD)
         if fwd_plan not in ("matmul", "gather"):
             raise ValueError(
-                f"WEAKCUBE_RA_TRAIN_FWD={fwd_plan!r}: expected "
+                f"ROI_ALIGN_TRAIN_FWD={fwd_plan!r}: expected "
                 "'matmul' or 'gather'")
+        if fwd_plan == "matmul" and plan == "autodiff":
+            # autodiff means "differentiate the gather forward"; with the
+            # matmul forward the custom_vjp has no gather to differentiate
+            # and would silently fall back to another plan — refuse instead
+            # (advisor r3: a silent fallback corrupts crash bisects)
+            raise ValueError(
+                "ROI_ALIGN_TRAIN_FWD='matmul' requires an explicit backward "
+                "plan ('matmul' or 'windowed'); 'autodiff' differentiates "
+                "the gather forward and does not apply")
+        chunk = int(os.environ.get("WEAKCUBE_RA_CHUNK",
+                                   self.cfg.TPU.ROI_ALIGN_CHUNK))
         if plan in ("matmul", "windowed") or fwd_plan == "matmul":
             from ..ops.roi_align import multilevel_roi_align_trainable
             return multilevel_roi_align_trainable(tuple(feats), boxes,
                                                   tuple(strides), resolution,
-                                                  sr, 2, plan, fwd_plan)
+                                                  sr, 2, plan, fwd_plan,
+                                                  chunk)
         return multilevel_roi_align(feats, boxes, strides, resolution,
                                     sampling_ratio=sr)
 

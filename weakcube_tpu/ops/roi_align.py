@@ -330,13 +330,7 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
             o = jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
             return carry, o
 
-        if os.environ.get("WEAKCUBE_RA_FWD_UNROLL", "").lower() in \
-                ("1", "true"):
-            # statically unrolled chunk loop (no lax.scan) — crash-bisect
-            # variant: same math, different graph structure
-            ys = jnp.stack([body(0, (wy[i], wx[i]))[1] for i in range(nc)])
-        else:
-            _, ys = jax.lax.scan(body, 0, (wy, wx))  # (nc, B, chunk, P,P,C)
+        _, ys = jax.lax.scan(body, 0, (wy, wx))  # (nc, B, chunk, P,P,C)
         out = ys if out is None else out + ys
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, nc * chunk, P, P, C)
     return out[:, :R]
@@ -424,14 +418,15 @@ def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
     return tuple(grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def multilevel_roi_align_trainable(features_tuple, boxes,
                                    strides=(4, 8, 16, 32, 64),
                                    output_size: int = 7,
                                    sampling_ratio: int = 2,
                                    min_level: int = 2,
                                    bwd_plan: str = "matmul",
-                                   fwd_plan: str = "gather"):
+                                   fwd_plan: str = "gather",
+                                   chunk: int = 128):
     """multilevel_roi_align with explicit forward/backward plans.
 
     bwd_plan: "matmul" (default — scatter-free dense contractions, MXU) or
@@ -440,22 +435,24 @@ def multilevel_roi_align_trainable(features_tuple, boxes,
     plan faults this chip's libtpu). fwd_plan: "gather" (take_along_axis —
     measured at ~3% HBM bandwidth at recipe scale, 191 ms for the b25x512
     box pooler) or "matmul" (dense contractions, same plan as the
-    backward). The boxes get NO gradient (proposals are stop-gradient'd
+    backward). chunk bounds the matmul plans' RoI-axis scan intermediate.
+    The boxes get NO gradient (proposals are stop-gradient'd
     upstream, matching the reference where proposals are created under
     no_grad). features_tuple must be a tuple (clean custom_vjp pytree).
     """
     if fwd_plan == "matmul":
         return matmul_fwd(list(features_tuple), boxes, strides,
-                          output_size, sampling_ratio, min_level)
+                          output_size, sampling_ratio, min_level, chunk)
     return multilevel_roi_align(list(features_tuple), boxes, strides,
                                 output_size, sampling_ratio, min_level)
 
 
 def _mra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
-             min_level, bwd_plan, fwd_plan):
+             min_level, bwd_plan, fwd_plan, chunk):
     out = multilevel_roi_align_trainable(features_tuple, boxes, strides,
                                          output_size, sampling_ratio,
-                                         min_level, bwd_plan, fwd_plan)
+                                         min_level, bwd_plan, fwd_plan,
+                                         chunk)
     # the backward needs only each level's (B, H, W, C) shape and dtype —
     # carry zero-size views (f[:0]) instead of the arrays so the residuals
     # can never extend the features' liveness into the backward pass
@@ -463,14 +460,22 @@ def _mra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
 
 
 def _mra_bwd(strides, output_size, sampling_ratio, min_level, bwd_plan,
-             fwd_plan, res, g):
+             fwd_plan, chunk, res, g):
     boxes, feat_meta = res
     B = boxes.shape[0]
     shapes = tuple((B,) + f.shape[1:] for f in feat_meta)
     dtypes = tuple(f.dtype for f in feat_meta)
-    fn = matmul_bwd if bwd_plan == "matmul" else windowed_scatter_bwd
-    grads = fn(shapes, dtypes, boxes, g, strides, output_size,
-               sampling_ratio, min_level)
+    if bwd_plan == "matmul":
+        grads = matmul_bwd(shapes, dtypes, boxes, g, strides, output_size,
+                           sampling_ratio, min_level, chunk)
+    elif bwd_plan == "windowed":
+        grads = windowed_scatter_bwd(shapes, dtypes, boxes, g, strides,
+                                     output_size, sampling_ratio, min_level)
+    else:
+        # 'autodiff' means "don't enter this custom_vjp at all" — reaching
+        # the backward with it is a caller bug, not a fallback opportunity
+        raise ValueError(f"unknown bwd_plan {bwd_plan!r} inside "
+                         "multilevel_roi_align_trainable")
     return grads, None
 
 

@@ -72,13 +72,12 @@ def make_train_step(model, tx, remat: bool = False,
     worker reproducibly crashes compiling/running the MONOLITHIC step graph
     with the matmul ROIAlign forward (fwd+bwd alone and b<=4 steps are
     fine — a libtpu fault, not OOM or user error); the split compiles and
-    runs clean. Default: WEAKCUBE_SPLIT_STEP env (on unless set to 0).
+    runs clean. Default split=None: OPT-IN via cfg.TPU.SPLIT_TRAIN_STEP in
+    the trainer, or WEAKCUBE_SPLIT_STEP=1 here (unset/0 = monolithic, the
+    configuration measured end-to-end on the chip).
     """
     import os
     if split is None:
-        # default OFF: the monolithic step is the configuration measured
-        # end-to-end on the chip; the split exists for crash bisection and
-        # as an escape hatch (see the round-3 libtpu-fault notes)
         split = os.environ.get("WEAKCUBE_SPLIT_STEP", "0").lower() \
             not in ("0", "false")
 
@@ -86,14 +85,7 @@ def make_train_step(model, tx, remat: bool = False,
         # expensive diagnostics (exact IoU3D) run every 200th step only
         # (reference roi_heads.py:936-945 "log 3d iou less frequently
         # because it is slow"); a traced bool so no recompile across steps.
-        # WEAKCUBE_NO_IOU3D_METRIC=1 pins it False as a CONSTANT so the
-        # lax.cond branch is dead-code-eliminated from the step graph
-        # (diagnostic for the round-3 worker-crash bisect).
-        import os as _os
-        if _os.environ.get("WEAKCUBE_NO_IOU3D_METRIC", "").lower() in ("1", "true"):
-            batch = dict(batch, metrics_tick=False)
-        else:
-            batch = dict(batch, metrics_tick=(state.step % 200 == 0))
+        batch = dict(batch, metrics_tick=(state.step % 200 == 0))
 
         def fwd(params):
             return model.apply(
@@ -154,19 +146,11 @@ def make_train_step(model, tx, remat: bool = False,
         return new_state, logs
 
     if not split:
-        # WEAKCUBE_NO_DONATE=1 disables TrainState buffer donation
-        # (diagnostic knob from the round-3 crash bisect)
-        if os.environ.get("WEAKCUBE_NO_DONATE", "").lower() in ("1", "true"):
-            return jax.jit(step_fn)
         return jax.jit(step_fn, donate_argnums=(0,))
 
     # ---- split-step: program 1 = forward+backward -> grads ---------------
     def grads_fn(state: TrainState, batch, rng):
-        if os.environ.get("WEAKCUBE_NO_IOU3D_METRIC", "").lower() in \
-                ("1", "true"):
-            batch = dict(batch, metrics_tick=False)
-        else:
-            batch = dict(batch, metrics_tick=(state.step % 200 == 0))
+        batch = dict(batch, metrics_tick=(state.step % 200 == 0))
 
         def fwd(params):
             return model.apply(
