@@ -133,8 +133,8 @@ def bench_train(rtt):
     # TPU worker (bisected 2026-08-20; RE-CONFIRMED 2026-08-21 with the
     # matmul backward now the default, so the fault is the Pallas FORWARD
     # kernel inside train graphs — inference-only Pallas is fine). Default
-    # the train bench to the pure-XLA trainable path (matmul einsum forward
-    # + matmul backward, the roi_heads.py defaults);
+    # the train bench to the pure-XLA trainable path (cfg.TPU defaults:
+    # gather forward + matmul backward);
     # BENCH_TRAIN_PALLAS=1 re-enables for re-testing on newer libtpu.
     cfg.TPU.USE_PALLAS_ROI_ALIGN = _env_flag("BENCH_TRAIN_PALLAS")
     cfg.freeze()

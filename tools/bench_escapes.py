@@ -27,6 +27,16 @@ FULL b25@512 recipe step:
                 program; the step receives batch["rpn_labels"] as inputs
                 (bit-identical math, models/rcnn3d.py::make_anchor_labeler)
 
+Arg-narrowing variants (value_and_grad program, matmul fwd, everything
+closed over EXCEPT the named piece — the round-3 bisect only ever flipped
+the whole (batch, rng) group at once, so WHICH argument triggers the
+fault is unknown):
+
+  arg_rng       only the rng is an argument (sampling kernels live)
+  arg_image     only batch["image"] is an argument
+  arg_gt        only batch["gt"] is an argument (labelling kernels live)
+  arg_maps      only depth_map/ground_mask/ground_valid are arguments
+
 Run ONE variant per process (a fault kills the backend):
     python tools/bench_escapes.py <variant>
 The runner script loops variants with a worker probe between runs.
@@ -131,6 +141,51 @@ def _patch_matmul_fwd(variant):
         ra.matmul_fwd = patched
 
 
+def _run_arg_bisect(variant, model, state, batch, rng):
+    """value_and_grad program with everything closed over except ONE piece
+    (passed as the jit argument). Any crash here names the exact guilty
+    argument kind; a clean run exonerates it."""
+    import jax
+    import jax.numpy as jnp
+
+    params, batch_stats = state.params, state.batch_stats
+    r2 = jax.random.fold_in(rng, 2)
+    batch = dict(batch, metrics_tick=jnp.zeros((), bool))
+
+    def fwd_p(p, bt, r):
+        (losses, _m), _ = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            bt, train=True, rng=r, mutable=["batch_stats"])
+        return jnp.sum(jnp.stack(list(losses.values())))
+
+    vg = jax.value_and_grad(fwd_p)
+    # params stays an argument in every variant — the round-3 clean
+    # `fwd_bwd` (params-as-only-arg) exonerated it
+    if variant == "arg_rng":
+        f = jax.jit(lambda p, r: vg(p, batch, r))
+        call = lambda: f(params, r2)[0]
+    elif variant == "arg_image":
+        f = jax.jit(lambda p, img: vg(p, dict(batch, image=img), r2))
+        call = lambda: f(params, batch["image"])[0]
+    elif variant == "arg_gt":
+        f = jax.jit(lambda p, gt: vg(p, dict(batch, gt=gt), r2))
+        call = lambda: f(params, batch["gt"])[0]
+    elif variant == "arg_maps":
+        maps = {k: batch[k] for k in ("depth_map", "ground_mask",
+                                      "ground_valid") if k in batch}
+        f = jax.jit(lambda p, m: vg(p, dict(batch, **m), r2))
+        call = lambda: f(params, maps)[0]
+    else:
+        raise ValueError(variant)
+
+    t0 = time.perf_counter()
+    loss0 = float(call())
+    print(f"# {variant}: compile+first {time.perf_counter() - t0:.0f}s "
+          f"loss {loss0:.3f}", file=sys.stderr, flush=True)
+    sec = timed(call, iters=6)
+    print(f"RESULT {variant} ok step_ms {sec * 1e3:.1f}", flush=True)
+
+
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "control"
     os.environ.setdefault("WEAKCUBE_RA_TRAIN_FWD", "matmul")
@@ -142,6 +197,8 @@ def main():
     from weakcube_tpu.parallel import make_train_step
 
     model, tx, state, batch, rng = build()
+    if variant.startswith("arg_"):
+        return _run_arg_bisect(variant, model, state, batch, rng)
     if variant == "batch_copy":
         copy = jax.jit(lambda b: jax.tree_util.tree_map(lambda x: x + 0, b))
         batch = copy(batch)

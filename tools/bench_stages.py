@@ -69,6 +69,14 @@ def main():
         return m.backbone(b["image"], train=False)["p2"]
 
     @jax.jit
+    def through_rpn_head(v, b):
+        m = model.bind(v)
+        feats_dict = m.backbone(b["image"], train=False)
+        feats = [feats_dict[f] for f in cfg.MODEL.RPN.IN_FEATURES]
+        logits, deltas = m.rpn_head(feats)
+        return logits[0]
+
+    @jax.jit
     def through_proposals(v, b):
         m = model.bind(v)
         feats, proposals, _ = m._features_and_proposals(b, False, None)
@@ -86,7 +94,9 @@ def main():
         det = model.apply(v, b, train=False)
         return det.boxes
 
-    stages = [("backbone_fpn", backbone_only), ("plus_rpn_nms", through_proposals),
+    stages = [("backbone_fpn", backbone_only),
+              ("plus_rpn_head", through_rpn_head),
+              ("plus_rpn_nms", through_proposals),
               ("plus_box_head", through_boxhead), ("full", full)]
     prev = 0.0
     for name, fn in stages:

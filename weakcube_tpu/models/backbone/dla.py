@@ -16,6 +16,8 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops import pool as pool_ops
+
 
 def _bn(train: bool, dtype, name: str):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -110,8 +112,10 @@ class Tree(nn.Module):
     def __call__(self, x, residual=None, children=None, train: bool = False,
                  root_dim_extra: int = 0):
         children = list(children) if children else []
-        bottom = nn.max_pool(x, (self.stride, self.stride),
-                             (self.stride, self.stride)) if self.stride > 1 else x
+        # non-overlapping pool via reshape+max: nn.max_pool's VJP is an XLA
+        # SelectAndScatter (serialized on TPU); this form's VJP is an
+        # elementwise mask (ops/pool.py)
+        bottom = pool_ops.max_pool_nonoverlap(x, self.stride)
         if self.in_channels != self.out_channels:
             proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                            dtype=self.dtype, name="project_conv")(bottom)
@@ -182,7 +186,7 @@ class DLABottomUp(nn.Module):
                   dtype=self.dtype, name="level4")(l3, train=train)
         l5 = Tree(levels[5], block, channels[4], channels[5], 2, level_root=True,
                   dtype=self.dtype, name="level5")(l4, train=train)
-        p6 = nn.max_pool(l5, (1, 1), (2, 2))
+        p6 = pool_ops.subsample2(l5)
         return {"p2": l2, "p3": l3, "p4": l4, "p5": l5, "p6": p6}
 
     @staticmethod

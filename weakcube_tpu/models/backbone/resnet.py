@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence
 
 import flax.linen as nn
+
+from ...ops import pool as pool_ops
 import jax.numpy as jnp
 
 
@@ -97,7 +99,7 @@ class ResNetBottomUp(nn.Module):
                           name=f"layer{stage + 1}_{b}")(y, train)
             outs[f"p{stage + 2}"] = y
         # stride-64 level: stride-2 subsample of the deepest map
-        outs["p6"] = nn.max_pool(outs["p5"], (1, 1), (2, 2))
+        outs["p6"] = pool_ops.subsample2(outs["p5"])
         return outs
 
     @staticmethod

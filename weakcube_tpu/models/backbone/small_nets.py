@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+
+from ...ops import pool as pool_ops
 import jax.numpy as jnp
 
 
@@ -82,7 +84,7 @@ class ShuffleNetV2BottomUp(nn.Module):
         y = nn.Conv(1024, (1, 1), use_bias=False, dtype=self.dtype, name="conv5")(y)
         y = nn.relu(_bn(train, self.dtype, "conv5_bn")(y))
         outs["p5"] = y
-        outs["p6"] = nn.max_pool(y, (1, 1), (2, 2))
+        outs["p6"] = pool_ops.subsample2(y)
         return outs
 
     @staticmethod
@@ -154,7 +156,7 @@ class MNASNetBottomUp(nn.Module):
         y = stage(y, 1, 320, 3, 1, 6, "mb6")
         p5 = y
         return {"p2": p2, "p3": p3, "p4": p4, "p5": p5,
-                "p6": nn.max_pool(p5, (1, 1), (2, 2))}
+                "p6": pool_ops.subsample2(p5)}
 
     @staticmethod
     def out_channels() -> Dict[str, int]:
@@ -205,7 +207,7 @@ class DenseNetBottomUp(nn.Module):
                 t = nn.Conv(y.shape[-1] // 2, (1, 1), use_bias=False, dtype=d,
                             name=f"trans{bi + 1}_conv")(t)
                 y = nn.avg_pool(t, (2, 2), (2, 2))
-        outs["p6"] = nn.max_pool(outs["p5"], (1, 1), (2, 2))
+        outs["p6"] = pool_ops.subsample2(outs["p5"])
         return outs
 
     @staticmethod
