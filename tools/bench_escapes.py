@@ -36,6 +36,19 @@ fault is unknown):
   arg_image     only batch["image"] is an argument
   arg_gt        only batch["gt"] is an argument (labelling kernels live)
   arg_maps      only depth_map/ground_mask/ground_valid are arguments
+  arg_gt_maps_rng  gt + maps + rng as arguments, image/wh/K closed — the
+                exact argument set of the backbone-split's big program
+  arg_all       the full (batch, rng) argument set rebuilt inside this
+                harness (control: should crash like args_p_batch_rng)
+
+Structural escape (the real thing, end to end):
+
+  split_backbone  THREE programs per step: (1) backbone fwd (image arg,
+                no einsums), (2) rest fwd+bwd from feats (einsums, but no
+                image arg) -> grads_rest + g_feats, (3) backbone bwd via
+                re-run with the surrogate loss sum(feats * g_feats) (image
+                arg, no einsums). Prices the escape: ~1 extra backbone
+                forward vs the monolithic step.
 
 Run ONE variant per process (a fault kills the backend):
     python tools/bench_escapes.py <variant>
@@ -175,6 +188,32 @@ def _run_arg_bisect(variant, model, state, batch, rng):
                                       "ground_valid") if k in batch}
         f = jax.jit(lambda p, m: vg(p, dict(batch, **m), r2))
         call = lambda: f(params, maps)[0]
+    elif variant == "arg_depth_map":
+        f = jax.jit(lambda p, d: vg(p, dict(batch, depth_map=d), r2))
+        call = lambda: f(params, batch["depth_map"])[0]
+    elif variant == "arg_ground_mask":
+        # the two BOOL parameters alone (S1/S8 packing suspect)
+        f = jax.jit(lambda p, gm, gv: vg(
+            p, dict(batch, ground_mask=gm, ground_valid=gv), r2))
+        call = lambda: f(params, batch["ground_mask"],
+                         batch["ground_valid"])[0]
+    elif variant == "arg_maps_u8":
+        # ESCAPE candidate: all three maps are arguments, but the bool
+        # masks cross the program boundary as uint8 and are re-cast inside
+        gm8 = batch["ground_mask"].astype(jnp.uint8)
+        gv8 = batch["ground_valid"].astype(jnp.uint8)
+        f = jax.jit(lambda p, d, gm, gv: vg(
+            p, dict(batch, depth_map=d, ground_mask=gm != 0,
+                    ground_valid=gv != 0), r2))
+        call = lambda: f(params, batch["depth_map"], gm8, gv8)[0]
+    elif variant == "arg_gt_maps_rng":
+        maps = {k: batch[k] for k in ("depth_map", "ground_mask",
+                                      "ground_valid") if k in batch}
+        f = jax.jit(lambda p, gt, m, r: vg(p, dict(batch, gt=gt, **m), r))
+        call = lambda: f(params, batch["gt"], maps, r2)[0]
+    elif variant == "arg_all":
+        f = jax.jit(lambda p, bt, r: vg(p, bt, r))
+        call = lambda: f(params, batch, r2)[0]
     else:
         raise ValueError(variant)
 
@@ -184,6 +223,77 @@ def _run_arg_bisect(variant, model, state, batch, rng):
           f"loss {loss0:.3f}", file=sys.stderr, flush=True)
     sec = timed(call, iters=6)
     print(f"RESULT {variant} ok step_ms {sec * 1e3:.1f}", flush=True)
+
+
+def _run_split_backbone(model, state, batch, rng):
+    """Three-program step (no optimizer — the known +~8 ms is priced by
+    bench_train_stages): backbone fwd | rest fwd+bwd | backbone bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    from weakcube_tpu.models.backbone.build import build_backbone
+
+    params, batch_stats = state.params, state.batch_stats
+    r2 = jax.random.fold_in(rng, 2)
+    batch = dict(batch, metrics_tick=jnp.zeros((), bool))
+
+    bb = build_backbone(model.cfg, model.dtype)
+    bb_params = {"bottom_up": params["bottom_up"],
+                 "fpn": params["backbone"]["fpn"]}
+    bs = batch_stats or {}
+    bb_stats = {k: v for k, v in (
+        ("bottom_up", bs.get("bottom_up", {})),
+        ("fpn", bs.get("backbone", {}).get("fpn", {}))) if v}
+
+    # P1: backbone forward — image is an argument, no pooler einsums
+    @jax.jit
+    def p1(bbp, image):
+        feats, mut = bb.apply({"params": bbp, "batch_stats": bb_stats},
+                              image, train=True, mutable=["batch_stats"])
+        return feats
+
+    # P2: everything downstream of the backbone, fwd+bwd w.r.t.
+    # (params, feats) — pooler einsums present, image NOT an argument
+    def rest_loss(p, feats, bt, r):
+        (losses, _m), _ = model.apply(
+            {"params": p, "batch_stats": batch_stats}, feats, bt,
+            train=True, rng=r, mutable=["batch_stats"],
+            method="forward_from_features")
+        return jnp.sum(jnp.stack(list(losses.values())))
+
+    p2 = jax.jit(lambda p, feats, bt, r:
+                 jax.value_and_grad(rest_loss, argnums=(0, 1))(p, feats,
+                                                               bt, r))
+
+    # P3: backbone backward via re-run with the surrogate loss
+    # sum(feats * g_feats) — image is an argument, no pooler einsums
+    def bb_surrogate(bbp, image, g_feats):
+        feats, _ = bb.apply({"params": bbp, "batch_stats": bb_stats},
+                            image, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(feats[k].astype(jnp.float32)
+                           * g_feats[k].astype(jnp.float32))
+                   for k in g_feats)
+
+    p3 = jax.jit(lambda bbp, img, gf: jax.grad(bb_surrogate)(bbp, img, gf))
+
+    maps = {k: batch[k] for k in ("gt", "image_wh", "K", "depth_map",
+                                  "ground_mask", "ground_valid",
+                                  "metrics_tick") if k in batch}
+
+    def run():
+        feats = p1(bb_params, batch["image"])
+        (loss, (grads_rest, g_feats)) = p2(params, feats, maps, r2)
+        grads_bb = p3(bb_params, batch["image"], g_feats)
+        return loss + grads_bb["bottom_up"]["base_conv"][
+            "kernel"].astype(jnp.float32).sum() * 0.0
+
+    t0 = time.perf_counter()
+    loss0 = float(run())
+    print(f"# split_backbone: compile+first {time.perf_counter() - t0:.0f}s "
+          f"loss {loss0:.3f}", file=sys.stderr, flush=True)
+    sec = timed(run, iters=6)
+    print(f"RESULT split_backbone ok step_ms {sec * 1e3:.1f} "
+          f"img_s {25.0 / sec:.1f}", flush=True)
 
 
 def main():
@@ -199,6 +309,8 @@ def main():
     model, tx, state, batch, rng = build()
     if variant.startswith("arg_"):
         return _run_arg_bisect(variant, model, state, batch, rng)
+    if variant == "split_backbone":
+        return _run_split_backbone(model, state, batch, rng)
     if variant == "batch_copy":
         copy = jax.jit(lambda b: jax.tree_util.tree_map(lambda x: x + 0, b))
         batch = copy(batch)

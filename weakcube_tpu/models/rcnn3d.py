@@ -59,8 +59,11 @@ class RCNN3DBase(nn.Module):
             z_stats=self.z_stats, dtype=self.dtype)
 
     def _features_and_proposals(self, batch, train, rng_rpn):
-        cfg = self.cfg
         feats_dict = self.backbone(batch["image"], train=train)
+        return self._proposals_from_feats(feats_dict, batch, train, rng_rpn)
+
+    def _proposals_from_feats(self, feats_dict, batch, train, rng_rpn):
+        cfg = self.cfg
         in_feats = list(cfg.MODEL.RPN.IN_FEATURES)
         feats = [feats_dict[f] for f in in_feats]
         logits, deltas = self.rpn_head(feats)
@@ -118,17 +121,32 @@ class RCNN3D(RCNN3DBase):
 
     roi_heads_cls: type = ROIHeads3D
 
+    def _roi_extra(self, batch) -> Dict[str, Any]:
+        return {}
+
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
                  rng: Optional[jax.Array] = None):
+        feats_dict = self.backbone(batch["image"], train=train)
+        return self.forward_from_features(feats_dict, batch, train, rng)
+
+    def forward_from_features(self, feats_dict, batch, train: bool = False,
+                              rng: Optional[jax.Array] = None):
+        """Everything downstream of the backbone. Exposed as its own apply
+        method so the backbone (the only consumer of batch["image"]) can
+        run in a SEPARATE XLA program — the round-4 libtpu-fault escape
+        compiles backbone-fwd / rest-fwd+bwd / backbone-bwd as three
+        programs (parallel/train_step.py split="backbone")."""
         if train:
             r1, r2 = jax.random.split(rng)
         else:
             r1 = r2 = None
-        feats, proposals, rpn_loss = self._features_and_proposals(batch, train, r1)
+        feats, proposals, rpn_loss = self._proposals_from_feats(
+            feats_dict, batch, train, r1)
         if train:
             losses, metrics = self.roi_heads(
                 feats, proposals, batch["gt"], batch["K"], batch["image_wh"],
-                train=True, rng=r2, metrics_tick=batch.get("metrics_tick"))
+                train=True, rng=r2, metrics_tick=batch.get("metrics_tick"),
+                **self._roi_extra(batch))
             losses.update(rpn_loss)
             return losses, metrics
         return self.roi_heads(feats, proposals, None, batch["K"],
@@ -136,7 +154,7 @@ class RCNN3D(RCNN3DBase):
 
 
 @register_meta_arch("RCNN3D_combined_features")
-class RCNN3DCombinedFeatures(RCNN3DBase):
+class RCNN3DCombinedFeatures(RCNN3D):
     """Weak meta-arch with depth/ground-map plumbing (rcnn3d.py:265-592).
 
     batch extras: depth_map (B, H', W'), ground_mask (B, H', W') bool,
@@ -146,27 +164,13 @@ class RCNN3DCombinedFeatures(RCNN3DBase):
 
     roi_heads_cls: type = ROIHeads3DScore
 
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
-                 rng: Optional[jax.Array] = None):
-        if train:
-            r1, r2 = jax.random.split(rng)
-        else:
-            r1 = r2 = None
-        feats, proposals, rpn_loss = self._features_and_proposals(batch, train, r1)
-        if train:
-            losses, metrics = self.roi_heads(
-                feats, proposals, batch["gt"], batch["K"], batch["image_wh"],
-                depth_maps=batch.get("depth_map"),
-                ground_masks=batch.get("ground_mask"),
-                ground_valid=batch.get("ground_valid"),
-                ground_normals=batch.get("ground_normal"),
-                ground_normal_valid=batch.get("ground_normal_valid"),
-                instance_masks=batch.get("instance_masks"),
-                train=True, rng=r2, metrics_tick=batch.get("metrics_tick"))
-            losses.update(rpn_loss)
-            return losses, metrics
-        return self.roi_heads(feats, proposals, None, batch["K"],
-                              batch["image_wh"], train=False)
+    def _roi_extra(self, batch) -> Dict[str, Any]:
+        return dict(depth_maps=batch.get("depth_map"),
+                    ground_masks=batch.get("ground_mask"),
+                    ground_valid=batch.get("ground_valid"),
+                    ground_normals=batch.get("ground_normal"),
+                    ground_normal_valid=batch.get("ground_normal_valid"),
+                    instance_masks=batch.get("instance_masks"))
 
 
 def make_anchor_labeler(cfg, image_hw: Optional[tuple] = None):
