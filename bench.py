@@ -134,7 +134,7 @@ def bench_train(rtt):
     # matmul backward now the default, so the fault is the Pallas FORWARD
     # kernel inside train graphs — inference-only Pallas is fine). Default
     # the train bench to the pure-XLA trainable path (cfg.TPU defaults:
-    # gather forward + matmul backward);
+    # matmul fwd+bwd inside the four-program backbone-split step);
     # BENCH_TRAIN_PALLAS=1 re-enables for re-testing on newer libtpu.
     cfg.TPU.USE_PALLAS_ROI_ALIGN = _env_flag("BENCH_TRAIN_PALLAS")
     cfg.freeze()
@@ -185,21 +185,40 @@ def bench_train(rtt):
     # and can be disabled outright with BENCH_SKIP_COST=1.
     flops = None
     if not _env_flag("BENCH_SKIP_COST"):
-        try:
-            if hasattr(step, "jit_grads"):
-                # split-step mode: the grads program holds ~all the flops
-                # (the update program is O(params) elementwise); lowering the
-                # combined step through one outer jit would rebuild the
-                # monolithic graph the split exists to avoid (worker crash)
-                lowered = step.jit_grads.lower(
-                    cell["s"], batch, jax.random.fold_in(rng, 2))
-            else:
-                lowered = jax.jit(lambda s, b, r: step(s, b, r)).lower(
-                    cell["s"], batch, jax.random.fold_in(rng, 2))
+        def _flops_of(lowered):
             cost = lowered.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            flops = float(cost.get("flops", 0.0)) or None
+            return float(cost.get("flops", 0.0))
+        try:
+            s = cell["s"]
+            r2 = jax.random.fold_in(rng, 2)
+            if getattr(step, "split", None) == "backbone":
+                # backbone-split mode: sum the three compute programs (the
+                # update program is O(params) elementwise). NEVER lower the
+                # combined step through one outer jit here — that rebuilds
+                # the monolithic matmul-fwd graph that faults the worker.
+                rest_batch = {k: v for k, v in batch.items() if k != "image"}
+                feats_sd = jax.eval_shape(
+                    step.jit_bb_fwd, s.params, s.batch_stats,
+                    batch["image"])[0]
+                flops = (
+                    _flops_of(step.jit_bb_fwd.lower(
+                        s.params, s.batch_stats, batch["image"]))
+                    + _flops_of(step.jit_rest.lower(
+                        s.params, s.step, feats_sd, rest_batch, r2))
+                    + _flops_of(step.jit_bb_bwd.lower(
+                        s.params, s.batch_stats, batch["image"],
+                        feats_sd))) or None
+            elif hasattr(step, "jit_grads"):
+                # split-step mode: the grads program holds ~all the flops;
+                # lowering the combined step through one outer jit would
+                # rebuild the monolithic graph the split exists to avoid
+                flops = _flops_of(step.jit_grads.lower(s, batch, r2)) or None
+            else:
+                flops = _flops_of(jax.jit(
+                    lambda s, b, r: step(s, b, r)).lower(s, batch, r2)) \
+                    or None
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
     mfu = (flops / sec / PEAK_FLOPS) if flops else None

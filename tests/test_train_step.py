@@ -79,6 +79,64 @@ class TestStabilisation:
         assert np.all(np.isfinite(np.asarray(s3.params["w"])))
 
 
+class TestBackboneSplitParity:
+    def test_backbone_split_matches_monolithic(self):
+        # the four-program backbone split (the round-4 libtpu-fault escape
+        # that unblocks the matmul ROIAlign forward) must match the
+        # monolithic step: same log keys, same losses, same updated params
+        # (allclose, not bitwise — the program partitioning changes XLA
+        # fusion order)
+        from test_model import tiny_cfg, tiny_batch
+        from weakcube_tpu.models.rcnn3d import build_model
+        import numpy as onp
+
+        cfg = tiny_cfg("RCNN3D_combined_features", "ROIHeads3DScore")
+        cfg.TPU.ROI_ALIGN_TRAIN_FWD = "matmul"
+        cfg = cfg.freeze()
+        priors = {"priors_dims_per_cat": onp.tile(
+            onp.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], onp.float32),
+            (5, 1, 1))}
+        model = build_model(cfg, priors)
+        tx = optax.sgd(0.01)
+        batch = tiny_batch(with_depth=True)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=True, rng=jax.random.PRNGKey(1))
+        s_a = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            loss_ema=jnp.zeros(()), ema_init=jnp.zeros((), bool),
+            skipped=jnp.zeros((), jnp.int32),
+            applied=jnp.zeros((), jnp.int32))
+        s_b = jax.tree_util.tree_map(jnp.copy, s_a)
+        step_a = make_train_step(model, tx, split=False)
+        step_b = make_train_step(model, tx, split="backbone")
+        assert getattr(step_b, "split", None) == "backbone"
+        for i in range(2):
+            rng = jax.random.PRNGKey(i)
+            s_a, logs_a = step_a(s_a, batch, rng)
+            s_b, logs_b = step_b(s_b, batch, rng)
+            assert set(logs_a) == set(logs_b)
+            for k in logs_a:
+                np.testing.assert_allclose(
+                    np.asarray(logs_a[k]), np.asarray(logs_b[k]),
+                    rtol=2e-4, atol=1e-5, err_msg=f"log {k} step {i}")
+        la = jax.tree_util.tree_leaves_with_path(s_a.params)
+        lb = jax.tree_util.tree_leaves(s_b.params)
+        assert len(la) == len(lb)
+        for (path, pa), pb in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=1e-6,
+                err_msg=f"param {jax.tree_util.keystr(path)}")
+        # batch_stats merged from the three forward programs
+        for (path, pa), pb in zip(
+                jax.tree_util.tree_leaves_with_path(s_a.batch_stats),
+                jax.tree_util.tree_leaves(s_b.batch_stats)):
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=1e-6,
+                err_msg=f"batch_stat {jax.tree_util.keystr(path)}")
+
+
 class TestSplitStepParity:
     def test_split_matches_monolithic(self):
         # the two-program split (round-3 worker-crash workaround) must be

@@ -289,6 +289,46 @@ def main():
                               "value": round(v * 1e3, 1), "unit": "ms/step"}))
         return
 
+    # backbone-split programs individually (the round-4 production step):
+    # BENCH_STAGES_BB_SPLIT=1 times p1 (backbone fwd), p2 (rest fwd+bwd),
+    # p3 (backbone bwd re-run), p4 (update) and the full chained step
+    if os.environ.get("BENCH_STAGES_BB_SPLIT"):
+        sp = make_train_step(model, tx, split="backbone")
+        image = batch["image"]
+        rest_batch = {k: v for k, v in batch.items() if k != "image"}
+
+        def sync(tree):
+            leaf = jax.tree_util.tree_leaves(tree)[0]
+            return float(leaf.reshape(-1)[0])
+
+        measure2("bbsplit_p1_backbone_fwd",
+                 lambda: sync(sp.jit_bb_fwd(params, batch_stats, image)[0]))
+        feats, bb_st = sp.jit_bb_fwd(params, batch_stats, image)
+        measure2("bbsplit_p2_rest_fwd_bwd",
+                 lambda: sp.jit_rest(params, state.step, feats,
+                                     rest_batch, r2)[2])
+        g_rest, g_feats, total, _losses, _metrics = sp.jit_rest(
+            params, state.step, feats, rest_batch, r2)
+        measure2("bbsplit_p3_backbone_bwd",
+                 lambda: sync(sp.jit_bb_bwd(params, batch_stats, image,
+                                            g_feats)))
+        g_bb = sp.jit_bb_bwd(params, batch_stats, image, g_feats)
+
+        def _p4():
+            ns, _div, _gf = sp.jit_update(
+                jax.tree_util.tree_map(jnp.copy, state),
+                jax.tree_util.tree_map(jnp.copy, g_rest),
+                jax.tree_util.tree_map(jnp.copy, g_bb),
+                total, bb_st)
+            return ns.loss_ema
+        measure2("bbsplit_p4_update", _p4)
+        # full chained step LAST (it donates the state)
+        measure2("bbsplit_full", stepper(sp, state, batch))
+        for k, v in results.items():
+            print(json.dumps({"metric": f"train_stage_{k}",
+                              "value": round(v * 1e3, 1), "unit": "ms/step"}))
+        return
+
     # split-step programs individually (round-3 crash bisect):
     # BENCH_STAGES_GRADS_ONLY=1 runs only program 1 (fwd+bwd+all outputs);
     # =2 also runs program 2 (stabilise+optimizer) fed from program 1

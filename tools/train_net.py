@@ -189,11 +189,10 @@ def do_train(cfg, args, records, loaders, num_classes):
     state = ckpt.resume_or_load(state, resume=args.resume)
     start_iter = int(state.step)
 
-    # step structure from YAML; WEAKCUBE_SPLIT_STEP env overrides for sweeps
-    split_env = os.environ.get("WEAKCUBE_SPLIT_STEP")
-    split = (split_env.lower() not in ("0", "false")) if split_env is not None \
-        else bool(cfg.TPU.SPLIT_TRAIN_STEP)
-    train_step = make_train_step(model, tx, split=split)
+    # step structure from YAML (cfg.TPU.SPLIT_TRAIN_STEP: False / True /
+    # "backbone"); WEAKCUBE_SPLIT_STEP env overrides at trace time for
+    # sweeps — both resolved inside make_train_step(split=None)
+    train_step = make_train_step(model, tx, split=None)
     max_iter = cfg.SOLVER.MAX_ITER
     log_period = 20
     t0 = time.time()

@@ -254,10 +254,10 @@ def build_default_cfg() -> CfgNode:
     # ---- training ROIAlign plans + step structure -----------------------
     # (YAML-first; the WEAKCUBE_* env vars of the same spelling override at
     # trace time for bench sweeps — see README "Environment overrides".)
-    # Forward plan inside train graphs: "gather" (take_along_axis; ~3% HBM
-    # bandwidth at recipe scale but robust) or "matmul" (dense separable
-    # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured, but
-    # faults the 2026-08 axon libtpu inside full train graphs).
+    # Forward plan inside train graphs: "matmul" (dense separable
+    # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured — pair
+    # with the backbone-split step below) or "gather" (take_along_axis;
+    # ~3% HBM bandwidth at recipe scale but runs in any step structure).
     c.TPU.ROI_ALIGN_TRAIN_FWD = "gather"    # env: WEAKCUBE_RA_TRAIN_FWD
     # Feature-gradient plan: "matmul" (scatter-free, default), "windowed"
     # (blocked scatter_add), or "autodiff" (XLA per-corner scatter).
@@ -265,8 +265,11 @@ def build_default_cfg() -> CfgNode:
     # RoI-axis chunk for the matmul plans' lax.scan (bounds the
     # (B, chunk, P, W, C) intermediate).
     c.TPU.ROI_ALIGN_CHUNK = 128             # env: WEAKCUBE_RA_CHUNK
-    # Compile the train step as two XLA programs (grads | update) instead of
-    # one monolith — bit-identical, tested; escape hatch for libtpu faults
-    # that only the monolithic graph triggers.
+    # Train-step structure: "backbone" (four programs: backbone fwd | rest
+    # fwd+bwd | backbone bwd | update — the only structure in which the
+    # matmul ROIAlign forward has run clean on the 2026-08 axon libtpu),
+    # True (grads | update two-program split, bit-identical to the
+    # monolith), or False (one monolithic program — pair with
+    # ROI_ALIGN_TRAIN_FWD="gather" on current libtpu).
     c.TPU.SPLIT_TRAIN_STEP = False          # env: WEAKCUBE_SPLIT_STEP
     return c

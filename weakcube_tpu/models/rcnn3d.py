@@ -129,6 +129,15 @@ class RCNN3D(RCNN3DBase):
         feats_dict = self.backbone(batch["image"], train=train)
         return self.forward_from_features(feats_dict, batch, train, rng)
 
+    def backbone_forward(self, image: jnp.ndarray, train: bool = False):
+        """Backbone-only apply (image -> {p2..p6} pyramid): program 1 (and
+        the re-run inside program 3) of the backbone-split train step
+        (parallel/train_step.py split='backbone'). Keeping batch["image"]
+        out of the program that holds the dense ROIAlign einsums is what
+        dodges the libtpu fault (round-4 arg-narrowing bisect,
+        tools/bench_escapes.py)."""
+        return self.backbone(image, train=train)
+
     def forward_from_features(self, feats_dict, batch, train: bool = False,
                               rng: Optional[jax.Array] = None):
         """Everything downstream of the backbone. Exposed as its own apply

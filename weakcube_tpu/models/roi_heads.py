@@ -598,11 +598,14 @@ class ROIHeadsCommon(nn.Module):
         # Forward plan: the take_along_axis gather runs at ~3% of HBM
         # bandwidth at recipe scale (191 ms for the b25x512 box pooler,
         # round-3 tools/bench_fwd_parts.py); the dense-contraction "matmul"
-        # forward (same separable plan as the matmul backward) rides the
-        # MXU and measures 124.8 ms for the ENTIRE model forward (fwd_only,
-        # vs 307.5 with the gather) — but full MONOLITHIC train graphs
-        # containing it fault the 2026-08 axon libtpu whenever the batch is
-        # a runtime argument (bisect in NOTES_NEXT_ROUND).
+        # forward (same separable plan as the matmul backward, the default)
+        # rides the MXU and measures 124.8 ms for the ENTIRE model forward
+        # (fwd_only, vs 307.5 with the gather). Monolithic train graphs
+        # containing it fault the 2026-08 axon libtpu when the depth/ground
+        # maps are runtime arguments alongside the backbone (round-4
+        # arg-narrowing bisect) — the default four-program backbone-split
+        # step (parallel/train_step.py split="backbone") keeps them in
+        # separate programs and runs clean.
         # Both plans come from cfg.TPU (YAML-first); the WEAKCUBE_RA_* env
         # vars override at TRACE time (bench sweeps) — set before the first
         # train step compiles; later changes don't touch cached executables.

@@ -56,8 +56,33 @@ def create_train_state(model, tx, batch, rng) -> Tuple[TrainState, Any]:
     ), variables
 
 
+def _parse_split(val):
+    """Normalise a split spec (bool / env string / YAML value) to one of
+    False (monolithic), True (grads/update two-program), 'backbone'
+    (four-program backbone split)."""
+    if isinstance(val, str):
+        v = val.strip().lower()
+        if v == "backbone":
+            return "backbone"
+        return v not in ("", "0", "false", "none")
+    return bool(val)
+
+
+def _overlay(dst, src):
+    """Recursively overlay the partial batch_stats mapping `src` (one split
+    program's mutated collections) onto the full template `dst`."""
+    from collections.abc import Mapping
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, Mapping) and isinstance(out.get(k), Mapping):
+            out[k] = _overlay(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def make_train_step(model, tx, remat: bool = False,
-                    split: Optional[bool] = None) -> Callable:
+                    split=None) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, logs).
 
     remat=True wraps the forward in jax.checkpoint (rematerialisation),
@@ -68,18 +93,59 @@ def make_train_step(model, tx, remat: bool = False,
     producing grads, (2) stabilisation+optimizer producing the new state —
     instead of one. Same math, same logs; the host dispatches both per step
     and they pipeline back-to-back on-device (async dispatch), so
-    steady-state throughput is unchanged. Round-3 motivation: the v5e
-    worker reproducibly crashes compiling/running the MONOLITHIC step graph
-    with the matmul ROIAlign forward (fwd+bwd alone and b<=4 steps are
-    fine — a libtpu fault, not OOM or user error); the split compiles and
-    runs clean. Default split=None: OPT-IN via cfg.TPU.SPLIT_TRAIN_STEP in
-    the trainer, or WEAKCUBE_SPLIT_STEP=1 here (unset/0 = monolithic, the
-    configuration measured end-to-end on the chip).
+    steady-state throughput is unchanged.
+
+    split="backbone" compiles FOUR programs — (1) backbone forward,
+    (2) everything downstream of the backbone, fwd+bwd w.r.t. (params,
+    features), (3) backbone backward via a re-run with the surrogate loss
+    sum(feats·g_feats) (exact chain rule; the re-run doubles as free
+    backbone rematerialisation), (4) stabilisation+optimizer. This is the
+    ONLY structure in which the dense-einsum ROIAlign forward
+    (cfg.TPU.ROI_ALIGN_TRAIN_FWD='matmul', 299 vs 482 ms fwd+bwd measured)
+    runs without faulting the 2026-08 axon libtpu: the round-4
+    arg-narrowing bisect (tools/bench_escapes.py) showed the fault needs
+    the depth/ground-map runtime arguments, the backbone convs, and the
+    pooler einsums all in ONE program; here the maps+einsums program (2)
+    has no backbone and the backbone programs (1)/(3) have no maps.
+    Measured on the v5e: 321 ms/step before the optimizer vs 480 ms for
+    the monolithic gather step.
+
+    Default split=None resolves WEAKCUBE_SPLIT_STEP (env, trace-time
+    sweeps) then cfg.TPU.SPLIT_TRAIN_STEP (YAML; the shipped default is
+    "backbone").
     """
     import os
     if split is None:
-        split = os.environ.get("WEAKCUBE_SPLIT_STEP", "0").lower() \
-            not in ("0", "false")
+        env = os.environ.get("WEAKCUBE_SPLIT_STEP")
+        if env is not None:
+            split = _parse_split(env)
+        else:
+            try:
+                split = _parse_split(model.cfg.TPU.SPLIT_TRAIN_STEP)
+            except AttributeError:
+                split = False
+    else:
+        split = _parse_split(split)
+
+    # Guard the known-fatal combination on real TPUs: the matmul ROIAlign
+    # forward inside a monolithic (or grads/update-split) step graph
+    # reproducibly crashes the axon libtpu worker, with a 13-45 min
+    # recovery. Only the backbone split runs it clean.
+    try:
+        cfg_fwd = model.cfg.TPU.ROI_ALIGN_TRAIN_FWD
+    except AttributeError:
+        cfg_fwd = "gather"
+    fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", cfg_fwd)
+    if (fwd_plan == "matmul" and split != "backbone"
+            and jax.default_backend() != "cpu"
+            and os.environ.get("WEAKCUBE_ALLOW_FAULTY_COMBO", "0") == "0"):
+        raise RuntimeError(
+            "ROI_ALIGN_TRAIN_FWD='matmul' with split="
+            f"{split!r} faults the current libtpu (worker crash, 13-45 min "
+            "recovery; NOTES_NEXT_ROUND.md bisect). Use "
+            "TPU.SPLIT_TRAIN_STEP='backbone', or ROI_ALIGN_TRAIN_FWD="
+            "'gather', or set WEAKCUBE_ALLOW_FAULTY_COMBO=1 to run a "
+            "deliberate crash repro.")
 
     def step_fn(state: TrainState, batch, rng):
         # expensive diagnostics (exact IoU3D) run every 200th step only
@@ -206,6 +272,108 @@ def make_train_step(model, tx, remat: bool = False,
             applied=state.applied + (1 - skip.astype(jnp.int32)))
         return new_state, diverging.astype(jnp.float32), \
             grad_finite.astype(jnp.float32)
+
+    if split == "backbone":
+        # ---- four-program backbone split (see docstring) ------------------
+        def bb_fwd_fn(params, batch_stats, image):
+            feats, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                image, train=True, mutable=["batch_stats"],
+                method="backbone_forward")
+            return feats, mut.get("batch_stats", {})
+
+        def rest_fn(params, step, feats, batch, rng):
+            # everything downstream of the backbone holds NO BatchNorm in
+            # this architecture (batch_stats live under the backbone-owned
+            # scopes only), so this program neither takes nor returns
+            # batch_stats — which also keeps its runtime-argument set
+            # exactly the (params, feats, maps, rng) shape the round-4
+            # crash bisect proved clean alongside the pooler einsums
+            batch = dict(batch, metrics_tick=(step % 200 == 0))
+
+            def fwd(p, f):
+                return model.apply({"params": p}, f, batch,
+                                   train=True, rng=rng,
+                                   method="forward_from_features")
+            if remat:
+                fwd = jax.checkpoint(fwd)
+
+            def loss_fn(p, f):
+                (losses, metrics) = fwd(p, f)
+                total = jnp.sum(jnp.stack([v for v in losses.values()]))
+                return total, (losses, metrics)
+
+            (total, (losses, metrics)), (g_p, g_f) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, feats)
+            # g_p has zeros at the backbone leaves (unused here); the
+            # backbone grads arrive from program 3 and are summed in the
+            # update program
+            return g_p, g_f, total, losses, metrics
+
+        def bb_bwd_fn(params, batch_stats, image, g_feats):
+            # exact chain rule: d/dp sum_k<feats_k(p), g_k> = J^T g; the
+            # f32 accumulation only affects the (discarded) scalar — the
+            # cotangent entering the backbone backward is g_feats itself
+            def surrogate(p):
+                feats, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    image, train=True, mutable=["batch_stats"],
+                    method="backbone_forward")
+                return sum(jnp.sum(feats[k].astype(jnp.float32)
+                                   * g_feats[k].astype(jnp.float32))
+                           for k in g_feats)
+            return jax.grad(surrogate)(params)
+
+        # flax returns the FULL mutable collection from every apply, but
+        # only program 1 runs BN here — its fresh stats (the backbone-owned
+        # subtrees: "bottom_up" adopted at the root + "backbone") overlay
+        # the state template in the update program.
+        BB_KEYS = ("bottom_up", "backbone")
+
+        def update_bb_fn(state, g_rest, g_bb, total, bb_stats):
+            grads = jax.tree_util.tree_map(jnp.add, g_rest, g_bb)
+            from_bb = {k: v for k, v in bb_stats.items() if k in BB_KEYS}
+            new_bs = _overlay(dict(state.batch_stats), from_bb)
+            return update_fn(state, grads, total, new_bs)
+
+        jit_bb_fwd = jax.jit(bb_fwd_fn)
+        jit_rest = jax.jit(rest_fn)
+        jit_bb_bwd = jax.jit(bb_bwd_fn)
+        # single-device programs run in dispatch order, so by the time the
+        # update executes, programs 1-3 have finished reading state; the
+        # two grad trees are donated into the sum
+        jit_update_bb = jax.jit(update_bb_fn, donate_argnums=(0, 1, 2))
+
+        def stepped_bb(state: TrainState, batch, rng):
+            extra = [k for k in (state.batch_stats or {}) if k not in BB_KEYS]
+            if extra:
+                raise NotImplementedError(
+                    "split='backbone' assumes all BatchNorm state lives in "
+                    f"the backbone; found head batch_stats under {extra} — "
+                    "use split=True for this model.")
+            image = batch["image"]
+            rest_batch = {k: v for k, v in batch.items() if k != "image"}
+            feats, bb_stats = jit_bb_fwd(state.params, state.batch_stats,
+                                         image)
+            g_rest, g_feats, total, losses, metrics = jit_rest(
+                state.params, state.step, feats, rest_batch, rng)
+            g_bb = jit_bb_bwd(state.params, state.batch_stats, image,
+                              g_feats)
+            new_state, diverging, grad_finite = jit_update_bb(
+                state, g_rest, g_bb, total, bb_stats)
+            logs = dict(losses)
+            logs.update(metrics)
+            logs["total_loss"] = total
+            logs["diverging"] = diverging
+            logs["grad_finite"] = grad_finite
+            return new_state, logs
+
+        stepped_bb.jit_bb_fwd = jit_bb_fwd
+        stepped_bb.jit_rest = jit_rest
+        stepped_bb.jit_bb_bwd = jit_bb_bwd
+        stepped_bb.jit_update = jit_update_bb
+        stepped_bb.split = "backbone"
+        return stepped_bb
 
     jit_grads = jax.jit(grads_fn)
     # state is donated in program 2 only (program 1 has already consumed it
