@@ -174,7 +174,14 @@ def bench_train(rtt):
 
     def one(i):
         cell["s"], logs = step(cell["s"], batch, jax.random.fold_in(rng, 3 + i))
-        return logs["total_loss"]
+        # sync on a scalar produced by the LAST program of the step.
+        # logs["total_loss"] comes from the grads/rest program — in the
+        # split-step forms, fetching it returns while the backbone-bwd and
+        # update programs are still queued, and the adjacent-RTT probe then
+        # absorbs their runtime into the subtracted "RTT" (a 2x flattering
+        # artifact measured round-4: 166 ms vs the honest 330). loss_ema is
+        # computed by the update program in every step structure.
+        return cell["s"].loss_ema
 
     sec = _timed_scalar(lambda i: one(i), rtt, 10)
     ips = B / sec
@@ -206,7 +213,7 @@ def bench_train(rtt):
                     _flops_of(step.jit_bb_fwd.lower(
                         s.params, s.batch_stats, batch["image"]))
                     + _flops_of(step.jit_rest.lower(
-                        s.params, s.step, feats_sd, rest_batch, r2))
+                        s.params, feats_sd, s.step, rest_batch, r2))
                     + _flops_of(step.jit_bb_bwd.lower(
                         s.params, s.batch_stats, batch["image"],
                         feats_sd))) or None

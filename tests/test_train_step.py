@@ -136,6 +136,21 @@ class TestBackboneSplitParity:
                 np.asarray(pa), np.asarray(pb), rtol=2e-4, atol=1e-6,
                 err_msg=f"batch_stat {jax.tree_util.keystr(path)}")
 
+        # cached ground normals are DROPPED by the backbone split (they
+        # fault the libtpu as runtime args of the einsum program — round-4
+        # bisect): a batch carrying them must produce the same losses as
+        # one without (in-graph RANSAC either way)
+        with_cache = dict(batch,
+                          ground_normal=jnp.tile(
+                              jnp.asarray([0.0, 1.0, 0.0]), (2, 1)),
+                          ground_normal_valid=jnp.ones((2,), bool))
+        _, logs_plain = step_b(s_b, batch, jax.random.PRNGKey(9))
+        _, logs_cache = step_b(s_b, with_cache, jax.random.PRNGKey(9))
+        for k in logs_plain:
+            np.testing.assert_array_equal(
+                np.asarray(logs_plain[k]), np.asarray(logs_cache[k]),
+                err_msg=f"normals-drop log {k}")
+
 
 class TestSplitStepParity:
     def test_split_matches_monolithic(self):

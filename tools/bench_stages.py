@@ -53,6 +53,14 @@ def main():
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
     cfg.TPU.IMAGE_SIZE = SIZE
     cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    # NMS-budget sweep knobs (inference box-head attack): shrink the
+    # per-class NMS candidate pool / per-level RPN pools and re-measure
+    if os.environ.get("BENCH_NMS_TOPK"):
+        cfg.TEST.NMS_CANDIDATE_TOPK = int(os.environ["BENCH_NMS_TOPK"])
+    if os.environ.get("BENCH_RPN_PRE"):
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = int(os.environ["BENCH_RPN_PRE"])
+    if os.environ.get("BENCH_RPN_POST"):
+        cfg.MODEL.RPN.POST_NMS_TOPK_TEST = int(os.environ["BENCH_RPN_POST"])
     cfg.freeze()
     priors = {"priors_dims_per_cat": np.tile(
         np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (38, 1, 1))}

@@ -150,7 +150,11 @@ def main():
 
         def one():
             cell["s"], logs = step_fn(cell["s"], batch0, r2)
-            return logs["total_loss"]
+            # sync on the UPDATE program's output, not total_loss: in the
+            # split-step forms total_loss is produced by an earlier
+            # program, and fetching it lets the trailing programs hide in
+            # the subtracted adjacent-RTT probe (see bench.py)
+            return cell["s"].loss_ema
         return one
 
     # forward only (before the full step: that one donates the state)
@@ -295,7 +299,12 @@ def main():
     if os.environ.get("BENCH_STAGES_BB_SPLIT"):
         sp = make_train_step(model, tx, split="backbone")
         image = batch["image"]
-        rest_batch = {k: v for k, v in batch.items() if k != "image"}
+        # the production allowlist (parallel/train_step.py stepped_bb):
+        # cached ground normals / stale metrics_tick as runtime args of
+        # this program fault the libtpu (round-4 P2 bisect)
+        rest_batch = {k: v for k, v in batch.items() if k in (
+            "gt", "image_wh", "K", "depth_map", "ground_mask",
+            "ground_valid", "instance_masks", "rpn_labels")}
 
         def sync(tree):
             leaf = jax.tree_util.tree_leaves(tree)[0]
@@ -305,10 +314,10 @@ def main():
                  lambda: sync(sp.jit_bb_fwd(params, batch_stats, image)[0]))
         feats, bb_st = sp.jit_bb_fwd(params, batch_stats, image)
         measure2("bbsplit_p2_rest_fwd_bwd",
-                 lambda: sp.jit_rest(params, state.step, feats,
+                 lambda: sp.jit_rest(params, feats, state.step,
                                      rest_batch, r2)[2])
         g_rest, g_feats, total, _losses, _metrics = sp.jit_rest(
-            params, state.step, feats, rest_batch, r2)
+            params, feats, state.step, rest_batch, r2)
         measure2("bbsplit_p3_backbone_bwd",
                  lambda: sync(sp.jit_bb_bwd(params, batch_stats, image,
                                             g_feats)))

@@ -214,6 +214,13 @@ def build_default_cfg() -> CfgNode:
     # loop at b8 spent ~22 ms computing per 277 ms batch (VERDICT r3 #3)
     c.TEST.IMS_PER_BATCH = 32
     c.TEST.DETECTIONS_PER_IMAGE = 100
+    # Static (roi, class)-pair candidate budget entering the per-class NMS
+    # at inference (the TPU replacement for the reference's dynamic
+    # score-threshold nonzero(), fast_rcnn.py:67-83): the global top-k
+    # scores over P proposals x C classes. 1024 is lossless in practice
+    # (post-NMS keeps DETECTIONS_PER_IMAGE=100); lower values shrink the
+    # (k, k) NMS IoU matrix quadratically.
+    c.TEST.NMS_CANDIDATE_TOPK = 1024
     c.TEST.VISIBILITY_THRES = 1 / 2.0
     c.TEST.TRUNCATION_THRES = 1 / 2.0
 
@@ -258,7 +265,7 @@ def build_default_cfg() -> CfgNode:
     # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured — pair
     # with the backbone-split step below) or "gather" (take_along_axis;
     # ~3% HBM bandwidth at recipe scale but runs in any step structure).
-    c.TPU.ROI_ALIGN_TRAIN_FWD = "gather"    # env: WEAKCUBE_RA_TRAIN_FWD
+    c.TPU.ROI_ALIGN_TRAIN_FWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_FWD
     # Feature-gradient plan: "matmul" (scatter-free, default), "windowed"
     # (blocked scatter_add), or "autodiff" (XLA per-corner scatter).
     c.TPU.ROI_ALIGN_TRAIN_BWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_BWD
@@ -267,9 +274,9 @@ def build_default_cfg() -> CfgNode:
     c.TPU.ROI_ALIGN_CHUNK = 128             # env: WEAKCUBE_RA_CHUNK
     # Train-step structure: "backbone" (four programs: backbone fwd | rest
     # fwd+bwd | backbone bwd | update — the only structure in which the
-    # matmul ROIAlign forward has run clean on the 2026-08 axon libtpu),
-    # True (grads | update two-program split, bit-identical to the
-    # monolith), or False (one monolithic program — pair with
-    # ROI_ALIGN_TRAIN_FWD="gather" on current libtpu).
-    c.TPU.SPLIT_TRAIN_STEP = False          # env: WEAKCUBE_SPLIT_STEP
+    # matmul ROIAlign forward runs clean on the 2026-08 axon libtpu, and
+    # the shipped default), True (grads | update two-program split,
+    # bit-identical to the monolith), or False (one monolithic program —
+    # pair with ROI_ALIGN_TRAIN_FWD="gather" on current libtpu).
+    c.TPU.SPLIT_TRAIN_STEP = "backbone"     # env: WEAKCUBE_SPLIT_STEP
     return c

@@ -684,7 +684,8 @@ class ROIHeadsCommon(nn.Module):
             scores, boxes_pc, proposals, image_wh,
             self.cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
             self.cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
-            self.cfg.TEST.DETECTIONS_PER_IMAGE)
+            self.cfg.TEST.DETECTIONS_PER_IMAGE,
+            candidate_topk=self.cfg.TEST.NMS_CANDIDATE_TOPK)
         return det, roi_sel
 
     # ---- cube branch plumbing --------------------------------------------

@@ -110,9 +110,17 @@ def make_train_step(model, tx, remat: bool = False,
     Measured on the v5e: 321 ms/step before the optimizer vs 480 ms for
     the monolithic gather step.
 
+    Known deviation: program 2 DROPS the host-prefitted ground-normal
+    cache (batch["ground_normal"/"ground_normal_valid"]) and fits the
+    ground plane in-graph instead — the cached-normal graph faults the
+    same libtpu in any argument packaging (round-4 P2 bisect,
+    tools/bench_p2_variants.py). In-graph RANSAC per step is the
+    REFERENCE's own semantics (cubercnn computes ground normals inside
+    the loss every iteration); the cache is a monolithic-path-only
+    optimization, and its cost is already inside the measured 321 ms.
+
     Default split=None resolves WEAKCUBE_SPLIT_STEP (env, trace-time
-    sweeps) then cfg.TPU.SPLIT_TRAIN_STEP (YAML; the shipped default is
-    "backbone").
+    sweeps) then cfg.TPU.SPLIT_TRAIN_STEP (YAML).
     """
     import os
     if split is None:
@@ -282,29 +290,37 @@ def make_train_step(model, tx, remat: bool = False,
                 method="backbone_forward")
             return feats, mut.get("batch_stats", {})
 
-        def rest_fn(params, step, feats, batch, rng):
-            # everything downstream of the backbone holds NO BatchNorm in
-            # this architecture (batch_stats live under the backbone-owned
-            # scopes only), so this program neither takes nor returns
-            # batch_stats — which also keeps its runtime-argument set
-            # exactly the (params, feats, maps, rng) shape the round-4
-            # crash bisect proved clean alongside the pooler einsums
-            batch = dict(batch, metrics_tick=(step % 200 == 0))
-
-            def fwd(p, f):
-                return model.apply({"params": p}, f, batch,
-                                   train=True, rng=rng,
-                                   method="forward_from_features")
+        # Everything downstream of the backbone holds NO BatchNorm in this
+        # architecture (batch_stats live under the backbone-owned scopes
+        # only), so this program neither takes nor returns batch_stats —
+        # which also keeps its runtime-argument set exactly the
+        # (params, feats, maps, rng) shape the round-4 crash bisect proved
+        # clean alongside the pooler einsums.
+        #
+        # STRUCTURE IS LOAD-BEARING: the batch/rng must flow into loss_fn
+        # as EXPLICIT value_and_grad arguments, not via closure over
+        # trace-time values — the bisect (tools/bench_p2_variants.py)
+        # found the closure form of this same math faulting the 2026-08
+        # axon libtpu worker while this explicit-args form runs clean
+        # (closures reorder the backward's constvars, which changes
+        # instruction scheduling enough to dodge the compiler bug).
+        def rest_loss_fn(p, f, bt, r):
+            apply = lambda p_, f_: model.apply(
+                {"params": p_}, f_, bt, train=True, rng=r,
+                method="forward_from_features")
             if remat:
-                fwd = jax.checkpoint(fwd)
+                apply = jax.checkpoint(apply)
+            losses, metrics = apply(p, f)
+            total = jnp.sum(jnp.stack([v for v in losses.values()]))
+            return total, (losses, metrics)
 
-            def loss_fn(p, f):
-                (losses, metrics) = fwd(p, f)
-                total = jnp.sum(jnp.stack([v for v in losses.values()]))
-                return total, (losses, metrics)
+        rest_vg = jax.value_and_grad(rest_loss_fn, argnums=(0, 1),
+                                     has_aux=True)
 
-            (total, (losses, metrics)), (g_p, g_f) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True)(params, feats)
+        def rest_fn(params, feats, step, batch, rng):
+            batch = dict(batch, metrics_tick=(step % 200 == 0))
+            (total, (losses, metrics)), (g_p, g_f) = rest_vg(
+                params, feats, batch, rng)
             # g_p has zeros at the backbone leaves (unused here); the
             # backbone grads arrive from program 3 and are summed in the
             # update program
@@ -352,11 +368,24 @@ def make_train_step(model, tx, remat: bool = False,
                     f"the backbone; found head batch_stats under {extra} — "
                     "use split=True for this model.")
             image = batch["image"]
-            rest_batch = {k: v for k, v in batch.items() if k != "image"}
+            # Explicit allowlist of the keys the rest program consumes.
+            # ground_normal / ground_normal_valid (the host-prefitted
+            # ground-plane cache, cfg.TPU.CACHE_GROUND_NORMALS) are
+            # DELIBERATELY excluded: the round-4 P2 bisect
+            # (tools/bench_p2_variants.py) found that the cached-normal
+            # arrays as runtime arguments of the einsum program fault the
+            # 2026-08 axon libtpu — every clean run of this graph computed
+            # the ground normals in-graph (RANSAC, ops/plane.py), and the
+            # measured 321 ms three-program step INCLUDED that RANSAC. A
+            # stale metrics_tick key is excluded for the same reason (dead
+            # runtime input; it is rebuilt in-graph from `step`).
+            rest_batch = {k: v for k, v in batch.items() if k in (
+                "gt", "image_wh", "K", "depth_map", "ground_mask",
+                "ground_valid", "instance_masks", "rpn_labels")}
             feats, bb_stats = jit_bb_fwd(state.params, state.batch_stats,
                                          image)
             g_rest, g_feats, total, losses, metrics = jit_rest(
-                state.params, state.step, feats, rest_batch, rng)
+                state.params, feats, state.step, rest_batch, rng)
             g_bb = jit_bb_bwd(state.params, state.batch_stats, image,
                               g_feats)
             new_state, diverging, grad_finite = jit_update_bb(
