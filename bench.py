@@ -358,6 +358,51 @@ def bench_inference(rtt):
         rtt, 20)
     print(f"# infer step chained {sec_chain * 1e3:.1f}ms "
           f"(single-call {sec_single * 1e3:.1f}ms)", file=sys.stderr)
+
+    # fast-serving preset (configs/cubercnn_DLA34_FPN_fast.yaml semantics:
+    # test-time proposal budgets 1000 -> 512, NMS candidate pool 1024 ->
+    # 512; params are budget-independent so the weights are reused) — a
+    # SECOND metric line; the headline (last line) stays the
+    # reference-budget configuration. BENCH_SKIP_FAST=1 disables.
+    if not _env_flag("BENCH_SKIP_FAST"):
+        try:
+            cfg_f = cfg.clone().defrost()
+            cfg_f.MODEL.RPN.PRE_NMS_TOPK_TEST = 512
+            cfg_f.MODEL.RPN.POST_NMS_TOPK_TEST = 512
+            cfg_f.TEST.NMS_CANDIDATE_TOPK = 512
+            cfg_f.freeze()
+            model_f = build_model(cfg_f, priors)
+
+            @jax.jit
+            def forward_chain_f(variables, b):
+                def body(i, acc):
+                    det = model_f.apply(
+                        variables, dict(b, image=b["image"]
+                                        + i.astype(jnp.float32) * 1e-6),
+                        train=False)
+                    return acc + det.scores3D[0, 0]
+                return jax.lax.fori_loop(0, CHAIN, body,
+                                         jnp.zeros((), jnp.float32))
+
+            t0 = time.perf_counter()
+            _ = float(forward_chain_f(variables, batch))
+            print(f"# infer fast-preset compile+first "
+                  f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+            sec_f = _timed_scalar(lambda i: forward_chain_f(variables, batch),
+                                  rtt, 8) / CHAIN
+            ips_f = B / sec_f
+            print(f"# infer fast-preset step chained {sec_f * 1e3:.1f}ms",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "weakcube_dla34_fpn_inference_512px_fast",
+                "value": round(ips_f, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips_f / BASELINE_INFER_IPS, 2),
+                "methodology": "chained",
+            }))
+        except Exception as e:  # keep the headline alive
+            print(f"# fast-preset stage failed: {e!r}", file=sys.stderr)
+
     sec = sec_chain
     ips = B / sec
     print(json.dumps({

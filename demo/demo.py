@@ -117,13 +117,10 @@ def main(argv=None):
         # threshold + render at network resolution
         keep = np.asarray(det.scores3D[0]) >= args.threshold
         det = det._replace(valid=det.valid & np.asarray(keep)[None, :])
-        net_img = (np.asarray(batch["image"][0]) *
-                   np.asarray(cfg.MODEL.PIXEL_STD) +
-                   np.asarray(cfg.MODEL.PIXEL_MEAN))
-        if cfg.INPUT.FORMAT == "BGR":
-            net_img = net_img[..., ::-1]
+        from weakcube_tpu.vis.vis import image_to_pixels
+        net_img = image_to_pixels(batch["image"][0], cfg)
         out = os.path.join(args.output_folder, stem + "_3Dboxes.jpg")
-        visualize_from_instances(np.clip(net_img, 0, 255), np.asarray(batch["K"][0]),
+        visualize_from_instances(net_img, np.asarray(batch["K"][0]),
                                  det, 0, out)
         logger.info("wrote %s (%d boxes)", out, int(keep.sum()))
 

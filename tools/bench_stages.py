@@ -106,6 +106,9 @@ def main():
               ("plus_rpn_head", through_rpn_head),
               ("plus_rpn_nms", through_proposals),
               ("plus_box_head", through_boxhead), ("full", full)]
+    if os.environ.get("BENCH_STAGES_ONLY_FULL"):
+        # sweep mode: one compile, one timing (NMS-budget sweeps)
+        stages = [("full", full)]
     prev = 0.0
     for name, fn in stages:
         t = timed(fn, (variables, batch))

@@ -308,13 +308,10 @@ def _dump_train_vis(cfg, batch, it, model=None, state=None,
     3D cuboid wireframes side by side (reference visualize_training,
     rcnn3d.py:126-263 storage.put_image panels)."""
     import numpy as np
-    from weakcube_tpu.vis.vis import draw_boxes_2d, draw_scene_view
+    from weakcube_tpu.vis.vis import (draw_boxes_2d, draw_scene_view,
+                                      image_to_pixels)
     from weakcube_tpu.utils.util import imwrite
-    img = np.asarray(batch["image"][0])
-    img = img * np.asarray(cfg.MODEL.PIXEL_STD) + np.asarray(cfg.MODEL.PIXEL_MEAN)
-    if cfg.INPUT.FORMAT == "BGR":
-        img = img[..., ::-1]
-    img = np.clip(img, 0, 255)
+    img = image_to_pixels(batch["image"][0], cfg)
     gt = batch["gt"]
     valid = np.asarray(gt.valid[0])
     boxes = np.asarray(gt.boxes[0])[valid]

@@ -56,6 +56,13 @@ class DatasetMapper3D:
         self.max_gt = max_gt or cfg.TPU.MAX_GT_PER_IMAGE
         self.pixel_mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
         self.pixel_std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        # ship uint8 pixels and normalise ON DEVICE (models/rcnn3d.py
+        # _prep_image): a (B,512,512,3) f32 canvas is 4x the bytes of the
+        # raw pixels, and on tunnel-attached TPUs the host->device image
+        # upload dominated the eval loop (measured 926 ms/batch of 32
+        # against 88 ms of compute, round-4). Rounding the bilinear resize
+        # back to uint8 perturbs pixels by <=0.5/255 (~1% of a pixel std).
+        self.transfer_uint8 = bool(getattr(cfg.TPU, "TRANSFER_UINT8", True))
         self.random_flip = cfg.INPUT.RANDOM_FLIP == "horizontal" and is_train
         self.fmt = cfg.INPUT.FORMAT
         # multi-scale training (reference INPUT.MIN_SIZE_TRAIN sweep): the
@@ -96,10 +103,17 @@ class DatasetMapper3D:
         if self.fmt == "BGR":
             image = image[..., ::-1]
         img = _resize_bilinear(image, (net_h, net_w)).astype(np.float32)
-        # normalise with reference pixel stats, pad to the square canvas
-        img = (img - self.pixel_mean) / self.pixel_std
-        canvas = np.zeros((SH, SW, 3), np.float32)
-        canvas[:net_h, :net_w] = img
+        if self.transfer_uint8:
+            # padding carries the per-channel mean pixel so the on-device
+            # normalise maps it to ~0, matching the f32 canvas' zero pad
+            canvas = np.empty((SH, SW, 3), np.uint8)
+            canvas[:] = np.clip(self.pixel_mean + 0.5, 0, 255).astype(np.uint8)
+            canvas[:net_h, :net_w] = np.clip(img + 0.5, 0, 255)
+        else:
+            # normalise with reference pixel stats, pad to the square canvas
+            img = (img - self.pixel_mean) / self.pixel_std
+            canvas = np.zeros((SH, SW, 3), np.float32)
+            canvas[:net_h, :net_w] = img
 
         K = np.asarray(record["K"], np.float32).copy()
         K[:2] *= scale

@@ -124,9 +124,22 @@ class RCNN3D(RCNN3DBase):
     def _roi_extra(self, batch) -> Dict[str, Any]:
         return {}
 
+    def _prep_image(self, image: jnp.ndarray) -> jnp.ndarray:
+        """On-device pixel normalisation for uint8-transferred images
+        (cfg.TPU.TRANSFER_UINT8, data/mapper.py): the data pipeline ships
+        raw pixels (4x fewer bytes over host->device) and the reference's
+        (x - PIXEL_MEAN) / PIXEL_STD runs here. f32 inputs pass through
+        untouched (already normalised on host)."""
+        if image.dtype == jnp.uint8:
+            mean = jnp.asarray(self.cfg.MODEL.PIXEL_MEAN, jnp.float32)
+            std = jnp.asarray(self.cfg.MODEL.PIXEL_STD, jnp.float32)
+            image = (image.astype(jnp.float32) - mean) / std
+        return image
+
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
                  rng: Optional[jax.Array] = None):
-        feats_dict = self.backbone(batch["image"], train=train)
+        feats_dict = self.backbone(self._prep_image(batch["image"]),
+                                   train=train)
         return self.forward_from_features(feats_dict, batch, train, rng)
 
     def backbone_forward(self, image: jnp.ndarray, train: bool = False):
@@ -136,7 +149,7 @@ class RCNN3D(RCNN3DBase):
         out of the program that holds the dense ROIAlign einsums is what
         dodges the libtpu fault (round-4 arg-narrowing bisect,
         tools/bench_escapes.py)."""
-        return self.backbone(image, train=train)
+        return self.backbone(self._prep_image(image), train=train)
 
     def forward_from_features(self, feats_dict, batch, train: bool = False,
                               rng: Optional[jax.Array] = None):

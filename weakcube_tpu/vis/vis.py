@@ -119,3 +119,20 @@ def visualize_from_instances(image: np.ndarray, K: np.ndarray, det,
     canvas[:front.shape[0], :front.shape[1]] = front
     canvas[:top.shape[0], front.shape[1]:] = top
     Image.fromarray(canvas).save(out_path, quality=90)
+
+
+def image_to_pixels(img, cfg) -> np.ndarray:
+    """Network-input image -> display pixels (HWC, RGB, 0-255 float).
+
+    Handles both transfer conventions: uint8 canvases (raw pixels,
+    cfg.TPU.TRANSFER_UINT8 — normalisation happens on device) and f32
+    canvases (host-normalised with the reference pixel stats)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32)
+    else:
+        img = img * np.asarray(cfg.MODEL.PIXEL_STD) \
+            + np.asarray(cfg.MODEL.PIXEL_MEAN)
+    if cfg.INPUT.FORMAT == "BGR":
+        img = img[..., ::-1]
+    return np.clip(img, 0, 255)
