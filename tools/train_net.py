@@ -149,6 +149,12 @@ def do_train(cfg, args, records, loaders, num_classes):
     model = build_model(cfg, priors)
     batches = prefetch(build_train_batches(cfg, records, loaders=loaders))
     first = shard_batch(next(batches), mesh)
+    # second pipeline stage: the host->device batch upload runs inside its
+    # own prefetch thread so it overlaps the previous step's on-device
+    # compute (a b25@512 batch is ~20 MB uint8 image + ~32 MB maps; on
+    # tunnel-attached hosts the blocking upload would eat into the 325 ms
+    # step — same fix as the eval loop, tools/eval_net.py round 4)
+    dev_batches = prefetch(map(lambda b: shard_batch(b, mesh), batches))
 
     rng = jax.random.PRNGKey(12 if cfg.SEED < 0 else cfg.SEED)
     ckpt = PeriodicCheckpointerOnlyOne(cfg.OUTPUT_DIR, cfg.SOLVER.CHECKPOINT_PERIOD)
@@ -212,7 +218,7 @@ def do_train(cfg, args, records, loaders, num_classes):
         if args.profile and it == start_iter + 10:
             jax.profiler.start_trace(os.path.join(cfg.OUTPUT_DIR, "profile"))
         t_d = time.time()
-        batch = shard_batch(next(batches), mesh)
+        batch = next(dev_batches)
         data_time += time.time() - t_d
         t_s = time.time()
         state, logs = train_step(state, batch, jax.random.fold_in(rng, it))
