@@ -299,6 +299,9 @@ def _run_split_backbone(model, state, batch, rng):
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "control"
     os.environ.setdefault("WEAKCUBE_RA_TRAIN_FWD", "matmul")
+    # deliberate crash repros: this harness exists to exercise the
+    # monolithic matmul-fwd graphs that make_train_step refuses by default
+    os.environ.setdefault("WEAKCUBE_ALLOW_FAULTY_COMBO", "1")
     import jax
     import jax.numpy as jnp
 
@@ -315,14 +318,16 @@ def main():
         copy = jax.jit(lambda b: jax.tree_util.tree_map(lambda x: x + 0, b))
         batch = copy(batch)
 
+    # split=False: these variants probe the MONOLITHIC step graph (the
+    # shipped default is now the backbone split, which dodges the fault)
     if variant == "batch_donate":
         # one outer jit (the inner jitted step inlines during tracing) with
         # the batch donated too — same HLO, different input buffer aliasing
-        inner = make_train_step(model, tx)
+        inner = make_train_step(model, tx, split=False)
         step = jax.jit(lambda s, b, r: inner(s, b, r),
                        donate_argnums=(0, 1))
     else:
-        step = make_train_step(model, tx)
+        step = make_train_step(model, tx, split=False)
 
     labeler = None
     if variant == "anchor_precomp":

@@ -82,7 +82,10 @@ def main():
     for i in range(iters):
         t0 = time.perf_counter()
         state, logs = step(state, batch, jax.random.fold_in(rng, 3 + i))
-        _ = float(logs["total_loss"])  # host sync
+        # sync on the LAST program's output: in the split-step forms
+        # total_loss is produced by an earlier program and fetching it
+        # would exclude the trailing programs (see bench.py round-4 note)
+        _ = float(state.loss_ema)
         per.append(time.perf_counter() - t0)
     med = float(np.median(per))
     ips = B / med
