@@ -144,8 +144,11 @@ class TestBackboneSplitParity:
                           ground_normal=jnp.tile(
                               jnp.asarray([0.0, 1.0, 0.0]), (2, 1)),
                           ground_normal_valid=jnp.ones((2,), bool))
-        _, logs_plain = step_b(s_b, batch, jax.random.PRNGKey(9))
-        _, logs_cache = step_b(s_b, with_cache, jax.random.PRNGKey(9))
+        # the step donates its input state — feed each call a fresh copy
+        _, logs_plain = step_b(jax.tree_util.tree_map(jnp.copy, s_b),
+                               batch, jax.random.PRNGKey(9))
+        _, logs_cache = step_b(jax.tree_util.tree_map(jnp.copy, s_b),
+                               with_cache, jax.random.PRNGKey(9))
         for k in logs_plain:
             np.testing.assert_array_equal(
                 np.asarray(logs_plain[k]), np.asarray(logs_cache[k]),
