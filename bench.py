@@ -200,7 +200,7 @@ def bench_train(rtt):
         try:
             s = cell["s"]
             r2 = jax.random.fold_in(rng, 2)
-            if getattr(step, "split", None) == "backbone":
+            if getattr(step, "split", None) in ("backbone", "backbone2"):
                 # backbone-split mode: sum the three compute programs (the
                 # update program is O(params) elementwise). NEVER lower the
                 # combined step through one outer jit here — that rebuilds

@@ -62,8 +62,8 @@ def _parse_split(val):
     (four-program backbone split)."""
     if isinstance(val, str):
         v = val.strip().lower()
-        if v == "backbone":
-            return "backbone"
+        if v in ("backbone", "backbone2"):
+            return v
         return v not in ("", "0", "false", "none")
     return bool(val)
 
@@ -144,7 +144,7 @@ def make_train_step(model, tx, remat: bool = False,
     except AttributeError:
         cfg_fwd = "gather"
     fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", cfg_fwd)
-    if (fwd_plan == "matmul" and split != "backbone"
+    if (fwd_plan == "matmul" and split not in ("backbone", "backbone2")
             and jax.default_backend() != "cpu"
             and os.environ.get("WEAKCUBE_ALLOW_FAULTY_COMBO", "0") == "0"):
         raise RuntimeError(
@@ -281,8 +281,11 @@ def make_train_step(model, tx, remat: bool = False,
         return new_state, diverging.astype(jnp.float32), \
             grad_finite.astype(jnp.float32)
 
-    if split == "backbone":
-        # ---- four-program backbone split (see docstring) ------------------
+    if split in ("backbone", "backbone2"):
+        # ---- four-program backbone split (see docstring); "backbone2"
+        # merges programs 3+4 (backbone bwd + update) into one, saving a
+        # dispatch and letting XLA fuse the optimizer into the conv
+        # backwards -------------------------------------------------------
         def bb_fwd_fn(params, batch_stats, image):
             feats, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -352,13 +355,30 @@ def make_train_step(model, tx, remat: bool = False,
             new_bs = _overlay(dict(state.batch_stats), from_bb)
             return update_fn(state, grads, total, new_bs)
 
+        def bb_bwd_update_fn(state, image, g_feats, g_rest, total,
+                             bb_stats):
+            # "backbone2": programs 3+4 fused — backbone bwd via the same
+            # surrogate, then grad-sum + stabilised update in one program
+            def surrogate(p):
+                feats, _ = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    image, train=True, mutable=["batch_stats"],
+                    method="backbone_forward")
+                return sum(jnp.sum(feats[k].astype(jnp.float32)
+                                   * g_feats[k].astype(jnp.float32))
+                           for k in g_feats)
+            g_bb = jax.grad(surrogate)(state.params)
+            return update_bb_fn(state, g_rest, g_bb, total, bb_stats)
+
+        merged = split == "backbone2"
         jit_bb_fwd = jax.jit(bb_fwd_fn)
         jit_rest = jax.jit(rest_fn)
         jit_bb_bwd = jax.jit(bb_bwd_fn)
         # single-device programs run in dispatch order, so by the time the
         # update executes, programs 1-3 have finished reading state; the
-        # two grad trees are donated into the sum
+        # grad trees are donated into the sum
         jit_update_bb = jax.jit(update_bb_fn, donate_argnums=(0, 1, 2))
+        jit_bb_bwd_update = jax.jit(bb_bwd_update_fn, donate_argnums=(0, 3))
 
         def stepped_bb(state: TrainState, batch, rng):
             extra = [k for k in (state.batch_stats or {}) if k not in BB_KEYS]
@@ -386,10 +406,14 @@ def make_train_step(model, tx, remat: bool = False,
                                          image)
             g_rest, g_feats, total, losses, metrics = jit_rest(
                 state.params, feats, state.step, rest_batch, rng)
-            g_bb = jit_bb_bwd(state.params, state.batch_stats, image,
-                              g_feats)
-            new_state, diverging, grad_finite = jit_update_bb(
-                state, g_rest, g_bb, total, bb_stats)
+            if merged:
+                new_state, diverging, grad_finite = jit_bb_bwd_update(
+                    state, image, g_feats, g_rest, total, bb_stats)
+            else:
+                g_bb = jit_bb_bwd(state.params, state.batch_stats, image,
+                                  g_feats)
+                new_state, diverging, grad_finite = jit_update_bb(
+                    state, g_rest, g_bb, total, bb_stats)
             logs = dict(losses)
             logs.update(metrics)
             logs["total_loss"] = total
@@ -401,7 +425,8 @@ def make_train_step(model, tx, remat: bool = False,
         stepped_bb.jit_rest = jit_rest
         stepped_bb.jit_bb_bwd = jit_bb_bwd
         stepped_bb.jit_update = jit_update_bb
-        stepped_bb.split = "backbone"
+        stepped_bb.jit_bb_bwd_update = jit_bb_bwd_update
+        stepped_bb.split = split
         return stepped_bb
 
     jit_grads = jax.jit(grads_fn)
