@@ -11,10 +11,14 @@ headline inference metric the driver has tracked since round 1):
      + pose_alignment + pose_ground, reference submit.sh:15-27), with an MFU
      estimate. Baseline: the thesis A40 trains this recipe at ~1.7 s/it
      (25 img / it -> 14.7 img/s).
-  2. depth_anything_v2_vitl_518px pseudo-GT depth throughput, batched bf16
+  2. weakcube_train_loop_recipe   END-TO-END loop throughput at the same
+     scale: host batches in the wire formats -> prefetch-thread upload ->
+     step, wall-clock over 20 steps (the step metric above uploads once
+     and times pure compute; the A40 baseline 1.7 s/it IS a loop number).
+  3. depth_anything_v2_vitl_518px pseudo-GT depth throughput, batched bf16
      (the reference generates depth maps one image at a time,
      generate_depth_maps.py:82-86; ~13 img/s on an A40).
-  3. weakcube_dla34_fpn_inference_512px   bf16 batched inference.
+  4. weakcube_dla34_fpn_inference_512px   bf16 batched inference.
      Baseline: estimated 12 img/s for the reference PyTorch Cube R-CNN
      DLA34-FPN at 512 px on the thesis A40 (no published number, SURVEY §6).
 
@@ -205,7 +209,13 @@ def bench_train(rtt):
                 # update program is O(params) elementwise). NEVER lower the
                 # combined step through one outer jit here — that rebuilds
                 # the monolithic matmul-fwd graph that faults the worker.
-                rest_batch = {k: v for k, v in batch.items() if k != "image"}
+                # Use the PRODUCTION allowlist (stepped_bb drops the cached
+                # normals): lowering with extra keys would compile a second,
+                # different jit_rest executable — the cached-normal graph
+                # that faults this libtpu.
+                from weakcube_tpu.parallel.train_step import REST_BATCH_KEYS
+                rest_batch = {k: v for k, v in batch.items()
+                              if k in REST_BATCH_KEYS}
                 feats_sd = jax.eval_shape(
                     step.jit_bb_fwd, s.params, s.batch_stats,
                     batch["image"])[0]
@@ -240,6 +250,119 @@ def bench_train(rtt):
     if mfu is not None:
         line["mfu"] = round(mfu, 4)
     print(json.dumps(line))
+
+
+def bench_trainloop(rtt):
+    """END-TO-END train-loop throughput: host batches -> tunnel upload (in
+    the production prefetch thread) -> the 4-program backbone-split step.
+
+    The step-only number (bench_train) uploads the batch ONCE; on this host
+    the tunnel moves ~110 MB/s, so a recipe batch that uploads slower than
+    the step computes makes the loop transfer-bound no matter how fast the
+    chip is. This stage measures the loop the way tools/train_net.py runs
+    it — upload overlapped via prefetch — over a pool of PRE-MAPPED host
+    batches in the production transfer-diet formats (uint8 image + f16
+    depth + bit-packed ground mask, cfg.TPU.TRANSFER_*). The mapper/augment
+    CPU cost is excluded: the 1-core bench host cannot represent the
+    many-core host a real run shards the mapper across (the reference gets
+    this from detectron2 worker processes); what is under test is the
+    framework's transfer+dispatch pipeline.
+    """
+    import jax
+
+    from __graft_entry__ import _tiny_batch
+    from weakcube_tpu.config import get_cfg
+    from weakcube_tpu.data.build import prefetch
+    from weakcube_tpu.models.rcnn3d import build_model
+    from weakcube_tpu.parallel import make_mesh, make_train_step, shard_batch
+    from weakcube_tpu.parallel.train_step import TrainState
+    from weakcube_tpu.solver import build_optimizer
+    import itertools
+    import jax.numpy as jnp
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 25))
+    S = 512
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "configs", "Omni_combined.yaml"))
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 38
+    cfg.TPU.IMAGE_SIZE = S
+    cfg.TPU.USE_PALLAS_ROI_ALIGN = False
+    cfg.freeze()
+
+    priors = {"priors_dims_per_cat": np.tile(
+        np.array([[[0.8, 0.8, 0.8], [0.3, 0.3, 0.3]]], np.float32), (38, 1, 1))}
+    model = build_model(cfg, priors)
+
+    # pool of host-side numpy batches in the diet wire formats; uint8 image
+    # like the production mapper (TRANSFER_UINT8)
+    host_batches = []
+    for seed in range(3):
+        b = jax.device_get(_tiny_batch(B, S, S, G=16, with_depth=True,
+                                       seed=seed))
+        img = np.clip(np.asarray(b["image"]) * 50 + 110, 0, 255
+                      ).astype(np.uint8)
+        b["image"] = img
+        host_batches.append(b)
+    nbytes = sum(a.nbytes for a in jax.tree_util.tree_leaves(host_batches[0]))
+    print(f"# trainloop host batch {nbytes / 1e6:.1f} MB", file=sys.stderr)
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, host_batches[0], train=True,
+                             rng=jax.random.fold_in(r, 1)))(rng)
+    params = variables["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params), loss_ema=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool), skipped=jnp.zeros((), jnp.int32),
+        applied=jnp.zeros((), jnp.int32))
+    print(f"# trainloop init {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    mesh = make_mesh([-1], ["data"])
+    state = jax.device_put(state)
+    step = make_train_step(model, tx)
+
+    def batch_gen():
+        for i in itertools.count():
+            yield host_batches[i % len(host_batches)]
+
+    # the production second pipeline stage (tools/train_net.py): uploads
+    # run in their own prefetch thread, overlapping the previous step
+    dev_batches = prefetch(
+        (shard_batch(b, mesh) for b in batch_gen()), depth=2)
+
+    # compile + warmup (2 steps so every program executable is cached)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        state, logs = step(state, next(dev_batches),
+                           jax.random.fold_in(rng, 2))
+    _ = float(state.loss_ema)
+    print(f"# trainloop compile+warmup {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
+
+    N = int(os.environ.get("BENCH_TRAINLOOP_STEPS", 20))
+    t0 = time.perf_counter()
+    for i in range(N):
+        state, logs = step(state, next(dev_batches),
+                           jax.random.fold_in(rng, 3 + i))
+    _ = float(state.loss_ema)  # sync: all N steps complete
+    wall = time.perf_counter() - t0
+    sec = wall / N
+    ips = B / sec
+    print(f"# trainloop {N} steps, {sec * 1e3:.0f}ms/step wall "
+          f"(upload overlapped)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "weakcube_train_loop_recipe",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_TRAIN_IPS, 2),
+        "methodology": "loop-wall-clock",
+    }))
 
 
 def bench_depth(rtt):
@@ -359,11 +482,32 @@ def bench_inference(rtt):
     print(f"# infer step chained {sec_chain * 1e3:.1f}ms "
           f"(single-call {sec_single * 1e3:.1f}ms)", file=sys.stderr)
 
+    # Bank the reference-budget headline JSON BEFORE compiling the fast
+    # preset: AOT-compiling a second executable once crashed the remote TPU
+    # worker, and a worker crash is not a Python exception — the try/except
+    # around the fast stage cannot save an unprinted headline (advisor r4).
+    # The same line is RE-printed after the fast stage so the headline stays
+    # the LAST json line (the driver parses the last line as the headline);
+    # the parent dedups records by metric name.
+    sec = sec_chain
+    ips = B / sec
+    headline = json.dumps({
+        "metric": "weakcube_dla34_fpn_inference_512px",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_INFER_IPS, 2),
+        # timing methodology tag: the regression check skips comparisons
+        # across methodologies (chained fori_loop vs the pre-r03
+        # single-call numbers differ by the amortised tunnel RTT)
+        "methodology": "chained",
+    })
+    print(headline, flush=True)
+
     # fast-serving preset (configs/cubercnn_DLA34_FPN_fast.yaml semantics:
     # test-time proposal budgets 1000 -> 512, NMS candidate pool 1024 ->
     # 512; params are budget-independent so the weights are reused) — a
-    # SECOND metric line; the headline (last line) stays the
-    # reference-budget configuration. BENCH_SKIP_FAST=1 disables.
+    # SECOND metric line printed after the banked headline.
+    # BENCH_SKIP_FAST=1 disables.
     if not _env_flag("BENCH_SKIP_FAST"):
         try:
             cfg_f = cfg.clone().defrost()
@@ -400,21 +544,9 @@ def bench_inference(rtt):
                 "vs_baseline": round(ips_f / BASELINE_INFER_IPS, 2),
                 "methodology": "chained",
             }))
-        except Exception as e:  # keep the headline alive
+        except Exception as e:  # secondary metric only; headline is banked
             print(f"# fast-preset stage failed: {e!r}", file=sys.stderr)
-
-    sec = sec_chain
-    ips = B / sec
-    print(json.dumps({
-        "metric": "weakcube_dla34_fpn_inference_512px",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_INFER_IPS, 2),
-        # timing methodology tag: the regression check skips comparisons
-        # across methodologies (chained fori_loop vs the pre-r03
-        # single-call numbers differ by the amortised tunnel RTT)
-        "methodology": "chained",
-    }))
+        print(headline, flush=True)  # keep the headline as the LAST line
 
 
 def _wait_for_worker(max_wait_s: float = 2700.0) -> bool:
@@ -438,8 +570,8 @@ def _wait_for_worker(max_wait_s: float = 2700.0) -> bool:
     return False
 
 
-STAGES = {"train": bench_train, "depth": bench_depth,
-          "inference": bench_inference}
+STAGES = {"train": bench_train, "trainloop": bench_trainloop,
+          "depth": bench_depth, "inference": bench_inference}
 
 
 def _run_stage_inline(name):
@@ -526,6 +658,8 @@ def main():
     stages = []
     if not _env_flag("BENCH_SKIP_TRAIN"):
         stages.append("train")
+    if not (_env_flag("BENCH_SKIP_TRAIN") or _env_flag("BENCH_SKIP_TRAINLOOP")):
+        stages.append("trainloop")
     if not _env_flag("BENCH_SKIP_DEPTH"):
         stages.append("depth")
     stages.append("inference")

@@ -106,6 +106,44 @@ class TestMapper:
         assert batch["image"].shape == (3, 128, 128, 3)
         assert batch["gt"].boxes.shape == (3, 8, 4)
 
+    def test_transfer_diet_roundtrip(self):
+        # cfg.TPU.TRANSFER_DEPTH_F16 / TRANSFER_MASK_BITS: the diet mapper's
+        # outputs must decode back to the legacy mapper's depth/mask exactly
+        # (mask) / within f16 rounding (depth)
+        from weakcube_tpu.ops.bitpack import unpack_mask_bits
+        rec = synthetic.make_dataset(1, seed=8)[0]
+        depth = synthetic.render_depth(rec["_scene"])
+        ground = depth > np.median(depth)
+        cfg_diet = smoke_cfg().freeze()
+        cfg_legacy = smoke_cfg()
+        cfg_legacy.TPU.TRANSFER_DEPTH_F16 = False
+        cfg_legacy.TPU.TRANSFER_MASK_BITS = False
+        cfg_legacy = cfg_legacy.freeze()
+        out_d = DatasetMapper3D(cfg_diet, is_train=False)(
+            rec, depth_map=depth, ground_map=ground)
+        out_l = DatasetMapper3D(cfg_legacy, is_train=False)(
+            rec, depth_map=depth, ground_map=ground)
+        assert out_d["depth_map"].dtype == np.float16
+        assert "ground_mask" not in out_d and "ground_mask_bits" in out_d
+        np.testing.assert_allclose(
+            out_d["depth_map"].astype(np.float32), out_l["depth_map"],
+            rtol=1e-3, atol=1e-3)
+        gm = np.asarray(unpack_mask_bits(
+            np.asarray(out_d["ground_mask_bits"]),
+            out_l["ground_mask"].shape[-1]))
+        np.testing.assert_array_equal(gm, out_l["ground_mask"])
+        assert out_d["ground_valid"] == out_l["ground_valid"]
+
+    def test_bitpack_roundtrip_odd_width(self):
+        from weakcube_tpu.ops.bitpack import pack_mask_bits, unpack_mask_bits
+        rng = np.random.default_rng(0)
+        for w in (8, 13, 64, 100):
+            m = rng.random((2, 5, w)) > 0.5
+            bits = pack_mask_bits(m)
+            assert bits.shape == (2, 5, -(-w // 8))
+            np.testing.assert_array_equal(
+                np.asarray(unpack_mask_bits(bits, w)), m)
+
 
 class TestOmni3DJson:
     def _write_json(self, tmp_path):

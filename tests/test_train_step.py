@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from weakcube_tpu.parallel.train_step import TrainState, make_train_step
 
@@ -80,12 +81,14 @@ class TestStabilisation:
 
 
 class TestBackboneSplitParity:
-    def test_backbone_split_matches_monolithic(self):
+    @pytest.mark.parametrize("split", ["backbone", "backbone2"])
+    def test_backbone_split_matches_monolithic(self, split):
         # the four-program backbone split (the round-4 libtpu-fault escape
         # that unblocks the matmul ROIAlign forward) must match the
         # monolithic step: same log keys, same losses, same updated params
         # (allclose, not bitwise — the program partitioning changes XLA
-        # fusion order)
+        # fusion order). "backbone2" merges programs 3+4 (backbone bwd +
+        # update) — same math, one fewer dispatch.
         from test_model import tiny_cfg, tiny_batch
         from weakcube_tpu.models.rcnn3d import build_model
         import numpy as onp
@@ -110,8 +113,8 @@ class TestBackboneSplitParity:
             applied=jnp.zeros((), jnp.int32))
         s_b = jax.tree_util.tree_map(jnp.copy, s_a)
         step_a = make_train_step(model, tx, split=False)
-        step_b = make_train_step(model, tx, split="backbone")
-        assert getattr(step_b, "split", None) == "backbone"
+        step_b = make_train_step(model, tx, split=split)
+        assert getattr(step_b, "split", None) == split
         for i in range(2):
             rng = jax.random.PRNGKey(i)
             s_a, logs_a = step_a(s_a, batch, rng)

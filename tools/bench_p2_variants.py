@@ -64,8 +64,9 @@ def main():
     else:
         feats = p1(params, batch["image"])
     maps = {k: batch[k] for k in ("gt", "image_wh", "K", "depth_map",
-                                  "ground_mask", "ground_valid",
-                                  "metrics_tick") if k in batch}
+                                  "ground_mask", "ground_mask_bits",
+                                  "ground_valid", "metrics_tick")
+            if k in batch}
 
     if variant in ("prod", "prod_nodead"):
         # prod: the shipped jit_rest with the decomposition's rest_batch

@@ -302,9 +302,9 @@ def main():
         # the production allowlist (parallel/train_step.py stepped_bb):
         # cached ground normals / stale metrics_tick as runtime args of
         # this program fault the libtpu (round-4 P2 bisect)
-        rest_batch = {k: v for k, v in batch.items() if k in (
-            "gt", "image_wh", "K", "depth_map", "ground_mask",
-            "ground_valid", "instance_masks", "rpn_labels")}
+        from weakcube_tpu.parallel.train_step import REST_BATCH_KEYS
+        rest_batch = {k: v for k, v in batch.items()
+                      if k in REST_BATCH_KEYS}
 
         def sync(tree):
             leaf = jax.tree_util.tree_leaves(tree)[0]

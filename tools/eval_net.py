@@ -36,30 +36,42 @@ def make_fetch_eval_step(model):
     a round-trip each (~29 ms), so the dict fetch cost 8 RTTs per batch —
     measured 1021 ms/batch of 32 against ~88 ms of compute (round-4).
     Packing device-side makes the fetch one transfer. The per-field
-    layout is recorded at trace time on `layout` (field, width) pairs;
+    (field, width) layout is derived ONCE on first call via jax.eval_shape
+    (no tracing side effects — a retrace on a new batch shape can never
+    clear it mid-flight; advisor r4) and exposed as `jitted.layout`;
     `unpack_fetched` inverts it on host."""
     import jax
     import jax.numpy as jnp
 
-    layout = []
+    def det_fn(params, batch_stats, b):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           b, train=False)
 
     def f(params, batch_stats, b):
-        det = model.apply({"params": params, "batch_stats": batch_stats},
-                          b, train=False)
-        layout.clear()
-        parts = []
-        for k, w in FIELD_WIDTHS:
-            v = getattr(det, k)
-            if v is None:
-                continue
-            parts.append(v.reshape(v.shape[0], v.shape[1], -1)
-                         .astype(jnp.float32))
-            layout.append((k, w))
+        det = det_fn(params, batch_stats, b)
+        parts = [getattr(det, k).reshape(det.boxes.shape[0],
+                                         det.boxes.shape[1], -1)
+                 .astype(jnp.float32)
+                 for k, _w in FIELD_WIDTHS if getattr(det, k) is not None]
         return jnp.concatenate(parts, axis=-1)
 
     jitted = jax.jit(f)
-    jitted.layout = layout
-    return jitted
+
+    class _Step:
+        """Callable wrapper; .layout is derived once on the first call."""
+
+        layout = None
+
+        def __call__(self, params, batch_stats, b):
+            if self.layout is None:
+                # abstract eval: which Detections fields the model emits is
+                # a function of the model config, not of batch values
+                det = jax.eval_shape(det_fn, params, batch_stats, b)
+                self.layout = [(k, w) for k, w in FIELD_WIDTHS
+                               if getattr(det, k) is not None]
+            return jitted(params, batch_stats, b)
+
+    return _Step()
 
 
 def unpack_fetched(packed, layout):

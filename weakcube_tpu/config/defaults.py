@@ -262,6 +262,13 @@ def build_default_cfg() -> CfgNode:
     # canvas: on tunnel/PCIe-attached hosts the image upload is the eval
     # loop's bottleneck (926 ms/batch of 32 vs 88 ms compute measured).
     c.TPU.TRANSFER_UINT8 = True
+    # Train-batch transfer diet (the tunnel moves ~110 MB/s; a b25@512
+    # recipe batch was ~52 MB f32/bool — longer on the wire than the step
+    # on the chip). Depth ships f16 (2x; ulp at 10 m = 8 mm, far under the
+    # 50 mm RANSAC threshold) and ground masks ship bit-packed (8x;
+    # ops/bitpack.py). Both decoded in-graph (models/rcnn3d.py::_roi_extra).
+    c.TPU.TRANSFER_DEPTH_F16 = True
+    c.TPU.TRANSFER_MASK_BITS = True
     c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
     # ---- training ROIAlign plans + step structure -----------------------
     # (YAML-first; the WEAKCUBE_* env vars of the same spelling override at
@@ -278,10 +285,12 @@ def build_default_cfg() -> CfgNode:
     # (B, chunk, P, W, C) intermediate).
     c.TPU.ROI_ALIGN_CHUNK = 128             # env: WEAKCUBE_RA_CHUNK
     # Train-step structure: "backbone" (four programs: backbone fwd | rest
-    # fwd+bwd | backbone bwd | update — the only structure in which the
-    # matmul ROIAlign forward runs clean on the 2026-08 axon libtpu, and
-    # the shipped default), True (grads | update two-program split,
-    # bit-identical to the monolith), or False (one monolithic program —
-    # pair with ROI_ALIGN_TRAIN_FWD="gather" on current libtpu).
+    # fwd+bwd | backbone bwd | update — a structure in which the
+    # matmul ROIAlign forward runs clean on the 2026-08 axon libtpu),
+    # "backbone2" (same split with programs 3+4 merged: backbone bwd +
+    # update in one program — one fewer dispatch, CPU-parity-tested like
+    # "backbone"), True (grads | update two-program split, bit-identical
+    # to the monolith), or False (one monolithic program — pair with
+    # ROI_ALIGN_TRAIN_FWD="gather" on current libtpu).
     c.TPU.SPLIT_TRAIN_STEP = "backbone"     # env: WEAKCUBE_SPLIT_STEP
     return c

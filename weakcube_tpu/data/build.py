@@ -31,7 +31,8 @@ def pad_batch(examples: List[Dict]) -> Dict:
             valid=stack("gt_valid"), boxes3D=stack("gt_boxes3D"),
             poses=stack("gt_poses")),
     }
-    for opt in ("depth_map", "ground_mask", "ground_normal"):
+    for opt in ("depth_map", "ground_mask", "ground_mask_bits",
+                "ground_normal"):
         if opt in examples[0]:
             batch[opt] = stack(opt)
     for opt in ("ground_valid", "ground_normal_valid"):

@@ -72,8 +72,27 @@ class DatasetMapper3D:
         if isinstance(sizes, (int, float)):
             sizes = (sizes,)
         self.min_sizes = tuple(sizes)
+        self.transfer_depth_f16 = bool(
+            getattr(cfg.TPU, "TRANSFER_DEPTH_F16", True))
+        self.transfer_mask_bits = bool(
+            getattr(cfg.TPU, "TRANSFER_MASK_BITS", True))
         self.cache_ground_normals = bool(
             getattr(cfg.TPU, "CACHE_GROUND_NORMALS", True))
+        # Under the backbone-split train step the rest program DROPS the
+        # cached normals (they fault the 2026-08 axon libtpu as runtime
+        # args of the einsum program — round-4 P2 bisect) and fits the
+        # plane in-graph instead, so computing the cache here would be
+        # dead mapper CPU + upload bytes AND the config would misstate the
+        # training math (one-shot SVD fit vs per-step RANSAC). Resolve the
+        # conflict once, loudly, at mapper build time. (advisor r4)
+        split = str(getattr(cfg.TPU, "SPLIT_TRAIN_STEP", False)).lower()
+        if is_train and self.cache_ground_normals and split.startswith(
+                "backbone"):
+            import logging
+            logging.getLogger(__name__).info(
+                "TPU.CACHE_GROUND_NORMALS disabled: SPLIT_TRAIN_STEP=%r "
+                "drops the cache and fits ground planes in-graph", split)
+            self.cache_ground_normals = False
         self._normal_cache: Dict = {}
 
     def __call__(self, record: Dict, rng: Optional[np.random.Generator] = None,
@@ -168,12 +187,24 @@ class DatasetMapper3D:
             d = _resize_nearest(depth_map, (net_h, net_w)).astype(np.float32)
             dm = np.zeros((SH, SW), np.float32)
             dm[:net_h, :net_w] = d[:, ::-1] if flip else d
-            out["depth_map"] = dm
+            # f16 transfer diet (cfg.TPU.TRANSFER_DEPTH_F16): halves the
+            # ~26 MB/batch f32 depth upload on the ~110 MB/s tunnel; f16
+            # ulp at 10 m is 8 mm — far under the 50 mm RANSAC inlier
+            # threshold and the pseudo-GT z losses' useful precision.
+            # Decoded back to f32 in-graph (rcnn3d._roi_extra).
+            out["depth_map"] = dm.astype(np.float16) \
+                if self.transfer_depth_f16 else dm
         if ground_map is not None:
             g = _resize_nearest(ground_map.astype(np.float32), (net_h, net_w)) > 0.5
             gm = np.zeros((SH, SW), bool)
             gm[:net_h, :net_w] = g[:, ::-1] if flip else g
-            out["ground_mask"] = gm
+            if self.transfer_mask_bits:
+                # 8 pixels/byte over the wire (ops/bitpack.py); unpacked
+                # in-graph against the image canvas width
+                from ..ops.bitpack import pack_mask_bits
+                out["ground_mask_bits"] = pack_mask_bits(gm)
+            else:
+                out["ground_mask"] = gm
             out["ground_valid"] = bool(g.sum() > 0)
         if depth_map is not None and self.cache_ground_normals:
             # ground plane normal cached per image: the pseudo-GT depth/

@@ -58,8 +58,24 @@ class RCNN3DBase(nn.Module):
             dims_priors=self.dims_priors, z_scales=self.z_scales,
             z_stats=self.z_stats, dtype=self.dtype)
 
+    def _prep_image(self, image: jnp.ndarray) -> jnp.ndarray:
+        """On-device pixel normalisation for uint8-transferred images
+        (cfg.TPU.TRANSFER_UINT8, data/mapper.py): the data pipeline ships
+        raw pixels (4x fewer bytes over host->device) and the reference's
+        (x - PIXEL_MEAN) / PIXEL_STD runs here. f32 inputs pass through
+        untouched (already normalised on host). Lives on the BASE class so
+        every meta-arch (and the helper below) normalises before the
+        backbone — a uint8 batch must never reach the convs raw (advisor
+        r4)."""
+        if image.dtype == jnp.uint8:
+            mean = jnp.asarray(self.cfg.MODEL.PIXEL_MEAN, jnp.float32)
+            std = jnp.asarray(self.cfg.MODEL.PIXEL_STD, jnp.float32)
+            image = (image.astype(jnp.float32) - mean) / std
+        return image
+
     def _features_and_proposals(self, batch, train, rng_rpn):
-        feats_dict = self.backbone(batch["image"], train=train)
+        feats_dict = self.backbone(self._prep_image(batch["image"]),
+                                   train=train)
         return self._proposals_from_feats(feats_dict, batch, train, rng_rpn)
 
     def _proposals_from_feats(self, feats_dict, batch, train, rng_rpn):
@@ -124,18 +140,6 @@ class RCNN3D(RCNN3DBase):
     def _roi_extra(self, batch) -> Dict[str, Any]:
         return {}
 
-    def _prep_image(self, image: jnp.ndarray) -> jnp.ndarray:
-        """On-device pixel normalisation for uint8-transferred images
-        (cfg.TPU.TRANSFER_UINT8, data/mapper.py): the data pipeline ships
-        raw pixels (4x fewer bytes over host->device) and the reference's
-        (x - PIXEL_MEAN) / PIXEL_STD runs here. f32 inputs pass through
-        untouched (already normalised on host)."""
-        if image.dtype == jnp.uint8:
-            mean = jnp.asarray(self.cfg.MODEL.PIXEL_MEAN, jnp.float32)
-            std = jnp.asarray(self.cfg.MODEL.PIXEL_STD, jnp.float32)
-            image = (image.astype(jnp.float32) - mean) / std
-        return image
-
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
                  rng: Optional[jax.Array] = None):
         feats_dict = self.backbone(self._prep_image(batch["image"]),
@@ -187,8 +191,28 @@ class RCNN3DCombinedFeatures(RCNN3D):
     roi_heads_cls: type = ROIHeads3DScore
 
     def _roi_extra(self, batch) -> Dict[str, Any]:
-        return dict(depth_maps=batch.get("depth_map"),
-                    ground_masks=batch.get("ground_mask"),
+        # transfer-diet decode (cfg.TPU.TRANSFER_DEPTH_F16 /
+        # TRANSFER_MASK_BITS, data/mapper.py): depth may arrive f16 and the
+        # ground mask bit-packed — restore full precision/layout in-graph
+        # before the weak losses consume them
+        dm = batch.get("depth_map")
+        if dm is not None and dm.dtype != jnp.float32:
+            dm = dm.astype(jnp.float32)
+        gm = batch.get("ground_mask")
+        if gm is None and batch.get("ground_mask_bits") is not None:
+            from ..ops.bitpack import unpack_mask_bits
+            bits = batch["ground_mask_bits"]
+            # canvas width: the rest program of the backbone split carries
+            # no "image" key, so prefer the (same-canvas) depth map
+            if dm is not None:
+                w = dm.shape[2]
+            elif "image" in batch:
+                w = batch["image"].shape[2]
+            else:
+                w = bits.shape[-1] * 8
+            gm = unpack_mask_bits(bits, w)
+        return dict(depth_maps=dm,
+                    ground_masks=gm,
                     ground_valid=batch.get("ground_valid"),
                     ground_normals=batch.get("ground_normal"),
                     ground_normal_valid=batch.get("ground_normal_valid"),

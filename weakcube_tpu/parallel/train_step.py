@@ -27,6 +27,19 @@ import optax
 GAMMA = 0.02            # rolling-mean smoothing (train_net.py:165)
 EXPLOSION_FACTOR = 4.0  # loss > 4x rolling mean -> diverging (:202-220)
 
+# Batch keys the backbone-split rest program (P2) consumes — the single
+# source of truth for the allowlist (stepped_bb below, bench.py cost
+# analysis, tools/bench_train_stages.py, tools/bench_p2_profile.py).
+# ground_normal / ground_normal_valid (the host-prefitted ground-plane
+# cache) and any stale metrics_tick are DELIBERATELY excluded: the round-4
+# P2 bisect (tools/bench_p2_variants.py) found the cached-normal arrays as
+# runtime arguments of the einsum program fault the 2026-08 axon libtpu —
+# the rest program fits the plane in-graph instead (ops/plane.py RANSAC,
+# the reference's own per-step semantics).
+REST_BATCH_KEYS = ("gt", "image_wh", "K", "depth_map", "ground_mask",
+                   "ground_mask_bits", "ground_valid", "instance_masks",
+                   "rpn_labels")
+
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
@@ -388,20 +401,11 @@ def make_train_step(model, tx, remat: bool = False,
                     f"the backbone; found head batch_stats under {extra} — "
                     "use split=True for this model.")
             image = batch["image"]
-            # Explicit allowlist of the keys the rest program consumes.
-            # ground_normal / ground_normal_valid (the host-prefitted
-            # ground-plane cache, cfg.TPU.CACHE_GROUND_NORMALS) are
-            # DELIBERATELY excluded: the round-4 P2 bisect
-            # (tools/bench_p2_variants.py) found that the cached-normal
-            # arrays as runtime arguments of the einsum program fault the
-            # 2026-08 axon libtpu — every clean run of this graph computed
-            # the ground normals in-graph (RANSAC, ops/plane.py), and the
-            # measured 321 ms three-program step INCLUDED that RANSAC. A
-            # stale metrics_tick key is excluded for the same reason (dead
-            # runtime input; it is rebuilt in-graph from `step`).
-            rest_batch = {k: v for k, v in batch.items() if k in (
-                "gt", "image_wh", "K", "depth_map", "ground_mask",
-                "ground_valid", "instance_masks", "rpn_labels")}
+            # Explicit allowlist of the keys the rest program consumes —
+            # see REST_BATCH_KEYS above for why the cached ground normals
+            # (and any stale metrics_tick) are excluded.
+            rest_batch = {k: v for k, v in batch.items()
+                          if k in REST_BATCH_KEYS}
             feats, bb_stats = jit_bb_fwd(state.params, state.batch_stats,
                                          image)
             g_rest, g_feats, total, losses, metrics = jit_rest(
