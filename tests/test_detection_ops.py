@@ -127,6 +127,36 @@ class TestROIAlign:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_matmul_level_skip_exact(self):
+        """TPU.ROI_ALIGN_LEVEL_SKIP (sort-by-level + cond-skip inactive
+        chunks) must be BIT-exact vs the plain matmul plan in both
+        directions — the skipped work is exactly the all-zero-masked case
+        and the output unsort restores per-RoI order."""
+        feats = self._pyramid(B=2, C=8)
+        rng = np.random.default_rng(9)
+        xy = rng.uniform(-20, 240, (2, 16, 2)).astype(np.float32)
+        wh = rng.uniform(4, 260, (2, 16, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        strides = (4, 8, 16, 32, 64)
+
+        base = roi_align.matmul_fwd(feats, boxes, strides, 7, 2, 2, chunk=4)
+        skip = roi_align.matmul_fwd(feats, boxes, strides, 7, 2, 2, chunk=4,
+                                    level_skip=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(skip))
+
+        g = jnp.asarray(rng.normal(size=base.shape).astype(np.float32))
+        shapes = tuple(f.shape for f in feats)
+        dtypes = tuple(f.dtype for f in feats)
+        gb = roi_align.matmul_bwd(shapes, dtypes, boxes, g, strides, 7, 2, 2,
+                                  chunk=4)
+        gs = roi_align.matmul_bwd(shapes, dtypes, boxes, g, strides, 7, 2, 2,
+                                  chunk=4, level_skip=True)
+        for a, b in zip(gb, gs):
+            # summation order within a level's chunk scan is unchanged
+            # (same chunks, same order; skipped ones added exact zeros)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
     @pytest.mark.parametrize("plan", ["matmul", "windowed"])
     def test_trainable_grad_matches_autodiff(self, plan):
         """Both custom_vjp plans on the XLA gather forward (matmul = the
@@ -251,6 +281,32 @@ class TestPlane:
         np.testing.assert_allclose(np.abs(np.asarray(eq[:3])), [0, 1, 0], atol=0.03)
         assert float(up[1]) < 0
         assert int(inliers.sum()) > 350
+
+    def test_ransac_hypothesis_count_accuracy(self):
+        """Pins the cfg.TPU.RANSAC_HYPOTHESES accuracy/cost trade: on a
+        realistic indoor scene (60% ground inliers at 1 cm noise + furniture
+        clutter), 256 and 128 hypotheses recover the same plane as the
+        reference's 1000 (Plane_torch maxIteration). Licenses cutting the
+        in-graph per-step RANSAC cost under the backbone split."""
+        def angular_err_deg(nh, seed):
+            rng = np.random.default_rng(100 + seed)
+            n_in, n_out = 600, 400
+            xz = rng.uniform(-4, 4, (n_in, 2))
+            y = 1.4 + 0.01 * rng.normal(size=n_in)
+            pts_in = np.stack([xz[:, 0], y, xz[:, 1] + 5], -1)
+            # clutter: boxes of points above the ground (furniture/walls)
+            pts_out = rng.uniform(0, 1, (n_out, 3)) * [6, 1.3, 5] + [-3, 0, 3]
+            pts = jnp.asarray(np.concatenate([pts_in, pts_out]).astype(np.float32))
+            eq, _ = plane.ransac_plane(jax.random.PRNGKey(seed), pts,
+                                       thresh=0.05, num_hypotheses=nh)
+            n = np.asarray(eq[:3])
+            cos = abs(n @ [0.0, 1.0, 0.0]) / max(np.linalg.norm(n), 1e-9)
+            return np.degrees(np.arccos(min(cos, 1.0)))
+
+        for nh in (1000, 256, 128):
+            errs = [angular_err_deg(nh, s) for s in range(6)]
+            assert np.median(errs) < 1.0, (nh, errs)
+            assert max(errs) < 2.0, (nh, errs)
 
     def test_masked_points_ignored(self):
         rng = np.random.default_rng(5)

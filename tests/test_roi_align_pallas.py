@@ -73,6 +73,40 @@ class TestTrainablePallasROIAlign:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4, rtol=1e-3)
 
+    def test_fwd_plan_pallas_matmul_bwd(self, monkeypatch):
+        """fwd_plan='pallas' in multilevel_roi_align_trainable (the
+        candidate train combo: windowed-DMA forward + scatter-free matmul
+        backward) — forward close to the gather formulation (bf16 tile
+        staging tolerance), backward exactly the matmul plan."""
+        rng = np.random.default_rng(11)
+        strides = (4, 8, 16, 32, 64)
+        feats = tuple(jnp.asarray(rng.normal(size=(2, 128 // s, 128 // s, 8))
+                                  .astype(np.float32)) for s in strides)
+        xy = rng.uniform(8, 60, (2, 6, 2))
+        wh = rng.uniform(10, 50, (2, 6, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(2, 6, 7, 7, 8)).astype(np.float32))
+
+        from weakcube_tpu.ops import roi_align_pallas as rap
+        orig = rap.pl.pallas_call
+        monkeypatch.setattr(rap.pl, "pallas_call",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+
+        def loss(fs, fwd_plan):
+            out = ra.multilevel_roi_align_trainable(
+                fs, boxes, strides, 7, 2, 2, "matmul", fwd_plan, 128)
+            return jnp.sum(out * cot), out
+
+        (_, out_p), g_p = jax.value_and_grad(loss, has_aux=True)(
+            feats, "pallas")
+        (_, out_g), g_g = jax.value_and_grad(loss, has_aux=True)(
+            feats, "gather")
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_g),
+                                   atol=2e-2, rtol=2e-2)
+        for a, b in zip(g_p, g_g):   # same matmul bwd plan on both sides
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_pallas_bwd_matches_scatter_batched(self, monkeypatch):
         """Pallas RMW backward vs the XLA scatter plan: B=3 images, many
         heavily overlapping RoIs (stresses sequential accumulation and the

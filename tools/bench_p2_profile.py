@@ -16,10 +16,13 @@ Variants (pass as argv[1]):
   noransac    jit_rest with pose_ground dropped (kills the in-graph RANSAC)
   iouonly     jit_rest with loss_functions=["iou"] (pool+heads+iou only)
   noboxhead   jit_rest with LOSS_W_3D=0 (2D branch only: RPN+box losses)
-  pallas      jit_rest with USE_PALLAS_ROI_ALIGN=1 (Pallas fwd + matmul
-              bwd). The Pallas-forward-in-train-graph worker crash was
-              bisected in MONOLITHIC graphs (with the backbone convs);
+  pallas      jit_rest with USE_PALLAS_ROI_ALIGN=1 (Pallas fwd + windowed
+              scatter bwd). The Pallas-forward-in-train-graph worker crash
+              was bisected in MONOLITHIC graphs (with the backbone convs);
               the split rest program has no backbone — retest. CRASH RISK.
+  pallasmm    jit_rest with ROI_ALIGN_TRAIN_FWD='pallas' + matmul bwd (the
+              candidate production combo: windowed-DMA fwd, scatter-free
+              bwd). CRASH RISK like `pallas`.
 
 Env sweeps (set BEFORE the run; they bind at trace time):
   WEAKCUBE_RA_CHUNK=64|128|256|512   pooler scan chunk (default 128)
@@ -62,7 +65,8 @@ def _rand_boxes(rng, B, R, size):
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "p2"
-    os.environ.setdefault("WEAKCUBE_RA_TRAIN_FWD", "matmul")
+    os.environ.setdefault("WEAKCUBE_RA_TRAIN_FWD",
+                          "pallas" if variant == "pallasmm" else "matmul")
     import jax
     import jax.numpy as jnp
     from weakcube_tpu.parallel import make_train_step
@@ -156,7 +160,11 @@ def main():
         from weakcube_tpu.parallel.train_step import REST_BATCH_KEYS
         rest_batch = {k: v for k, v in batch.items()
                       if k in REST_BATCH_KEYS}
-        call = lambda: float(sp.jit_rest(params, feats, state.step,
+        # step=1, NOT state.step (=0): metrics_tick fires on step%200==0 and
+        # the exact-IoU3D diagnostic it gates costs ~135 ms — production
+        # pays it 1/200 steps, so steady-state P2 must measure tick-OFF
+        step1 = jnp.ones((), jnp.int32)
+        call = lambda: float(sp.jit_rest(params, feats, step1,
                                          rest_batch, r2)[2])
 
     t0 = time.perf_counter()

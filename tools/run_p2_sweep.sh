@@ -27,6 +27,7 @@ run() {
   probe || { echo "# TPU never recovered after $name" >> "$LOG"; exit 1; }
 }
 
+run p2base    python tools/bench_p2_profile.py p2
 run fwdonly   python tools/bench_p2_profile.py fwdonly
 run ransac    python tools/bench_p2_profile.py ransac
 run ransac256 python tools/bench_p2_profile.py ransac256

@@ -270,13 +270,23 @@ def build_default_cfg() -> CfgNode:
     c.TPU.TRANSFER_DEPTH_F16 = True
     c.TPU.TRANSFER_MASK_BITS = True
     c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
+    # In-graph ground-plane RANSAC cost (pose_ground under the backbone
+    # split, where the host normals cache is dropped): hypothesis count
+    # (reference Plane_torch maxIteration=1000, ProposalNetwork/utils/
+    # plane.py:79) and depth-map subsampling stride (reference use_nth=5,
+    # roi_heads.py:466-528). Plane-recovery accuracy vs count is pinned by
+    # tests/test_ops.py::test_ransac_hypothesis_count_accuracy.
+    c.TPU.RANSAC_HYPOTHESES = 1000          # env: WEAKCUBE_RANSAC_HYP
+    c.TPU.RANSAC_USE_NTH = 5                # env: WEAKCUBE_RANSAC_NTH
     # ---- training ROIAlign plans + step structure -----------------------
     # (YAML-first; the WEAKCUBE_* env vars of the same spelling override at
     # trace time for bench sweeps — see README "Environment overrides".)
     # Forward plan inside train graphs: "matmul" (dense separable
     # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured — pair
-    # with the backbone-split step below) or "gather" (take_along_axis;
-    # ~3% HBM bandwidth at recipe scale but runs in any step structure).
+    # with the backbone-split step below), "gather" (take_along_axis;
+    # ~3% HBM bandwidth at recipe scale but runs in any step structure),
+    # or "pallas" (windowed-DMA kernel, ops/roi_align_pallas.py —
+    # bandwidth-proportional to the RoI window; backbone split only).
     c.TPU.ROI_ALIGN_TRAIN_FWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_FWD
     # Feature-gradient plan: "matmul" (scatter-free, default), "windowed"
     # (blocked scatter_add), or "autodiff" (XLA per-corner scatter).
@@ -284,6 +294,12 @@ def build_default_cfg() -> CfgNode:
     # RoI-axis chunk for the matmul plans' lax.scan (bounds the
     # (B, chunk, P, W, C) intermediate).
     c.TPU.ROI_ALIGN_CHUNK = 128             # env: WEAKCUBE_RA_CHUNK
+    # Level-sorted chunk skipping for the matmul plans: sort RoIs by FPN
+    # level and lax.cond-skip (chunk, level) pairs with no RoI at that
+    # level — the dense einsums otherwise pay every level's FLOPs +
+    # intermediate HBM traffic for ALL RoIs (bit-exact; see
+    # ops/roi_align.py::matmul_fwd).
+    c.TPU.ROI_ALIGN_LEVEL_SKIP = False      # env: WEAKCUBE_RA_LEVEL_SKIP
     # Train-step structure: "backbone" (four programs: backbone fwd | rest
     # fwd+bwd | backbone bwd | update — a structure in which the
     # matmul ROIAlign forward runs clean on the 2026-08 axon libtpu),

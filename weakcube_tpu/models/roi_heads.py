@@ -569,10 +569,13 @@ class ROIHeadsCommon(nn.Module):
         use_pallas = ("USE_PALLAS_ROI_ALIGN" in self.cfg.TPU
                       and self.cfg.TPU.USE_PALLAS_ROI_ALIGN)
         if inference and use_pallas:
-            # forward-only Pallas kernel: inference path
+            # forward-only Pallas kernel: inference path. Features go in
+            # AS-IS (the kernel stages bf16 window tiles internally — a
+            # host-side f32 cast only materialises a 2x pyramid copy) and
+            # the pooled output comes back in the feature dtype.
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
-            f32 = [f.astype(jnp.float32) for f in feats]
-            return multilevel_roi_align_pallas(f32, boxes, strides, resolution)
+            return multilevel_roi_align_pallas(feats, boxes, strides,
+                                               resolution)
         # reference POOLER_SAMPLING_RATIO=0 means adaptive; the static
         # equivalent is 2 samples/bin (d2's effective value at RoI ~ 14
         # units); values > 0 are honoured verbatim
@@ -618,11 +621,11 @@ class ROIHeadsCommon(nn.Module):
                 "'matmul', 'windowed', 'autodiff'")
         fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD",
                                   self.cfg.TPU.ROI_ALIGN_TRAIN_FWD)
-        if fwd_plan not in ("matmul", "gather"):
+        if fwd_plan not in ("matmul", "gather", "pallas"):
             raise ValueError(
                 f"ROI_ALIGN_TRAIN_FWD={fwd_plan!r}: expected "
-                "'matmul' or 'gather'")
-        if fwd_plan == "matmul" and plan == "autodiff":
+                "'matmul', 'gather' or 'pallas'")
+        if fwd_plan in ("matmul", "pallas") and plan == "autodiff":
             # autodiff means "differentiate the gather forward"; with the
             # matmul forward the custom_vjp has no gather to differentiate
             # and would silently fall back to another plan — refuse instead
@@ -633,12 +636,13 @@ class ROIHeadsCommon(nn.Module):
                 "the gather forward and does not apply")
         chunk = int(os.environ.get("WEAKCUBE_RA_CHUNK",
                                    self.cfg.TPU.ROI_ALIGN_CHUNK))
-        if plan in ("matmul", "windowed") or fwd_plan == "matmul":
+        lvl_skip = bool(getattr(self.cfg.TPU, "ROI_ALIGN_LEVEL_SKIP", False))
+        if plan in ("matmul", "windowed") or fwd_plan in ("matmul", "pallas"):
             from ..ops.roi_align import multilevel_roi_align_trainable
             return multilevel_roi_align_trainable(tuple(feats), boxes,
                                                   tuple(strides), resolution,
                                                   sr, 2, plan, fwd_plan,
-                                                  chunk)
+                                                  chunk, lvl_skip)
         return multilevel_roi_align(feats, boxes, strides, resolution,
                                     sampling_ratio=sr)
 
@@ -813,8 +817,17 @@ class ROIHeads3DScore(ROIHeadsCommon):
                     jnp.ones_like(depth_maps, dtype=bool)
                 gv = ground_valid if ground_valid is not None else \
                     jnp.ones((depth_maps.shape[0],), dtype=bool)
+                import os as _os
+                tpu_cfg = getattr(cfg, "TPU", None)
+                nh = int(_os.environ.get(
+                    "WEAKCUBE_RANSAC_HYP",
+                    getattr(tpu_cfg, "RANSAC_HYPOTHESES", 1000)))
+                nth = int(_os.environ.get(
+                    "WEAKCUBE_RANSAC_NTH",
+                    getattr(tpu_cfg, "RANSAC_USE_NTH", 5)))
                 normals = ground_normals_from_maps(k_ransac, depth_maps, gm,
-                                                   gv, K=K)
+                                                   gv, use_nth=nth, K=K,
+                                                   num_hypotheses=nh)
             normals = jax.lax.stop_gradient(normals)
             conf = jnp.where(gv, 1.0, 0.1)[:, None]
             if "pose_ground" in loss_fns:

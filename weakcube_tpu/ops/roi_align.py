@@ -261,9 +261,17 @@ def windowed_scatter_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
 # (B, chunk, P, W, C) intermediate, exactly like matmul_bwd.
 
 
+def _level_skip_enabled(level_skip):
+    import os
+    env = os.environ.get("WEAKCUBE_RA_LEVEL_SKIP")
+    if env is not None:
+        return env not in ("", "0", "false")
+    return bool(level_skip)
+
+
 def matmul_fwd(features, boxes, strides, output_size: int = 7,
                sampling_ratio: int = 2, min_level: int = 2,
-               chunk: int = 128) -> jnp.ndarray:
+               chunk: int = 128, level_skip: bool = False) -> jnp.ndarray:
     """Gather-free multilevel ROIAlignV2 via dense per-level contractions.
 
     features: list of (B, H_l, W_l, C) NHWC maps. boxes: (B, R, 4) XYXY.
@@ -273,6 +281,15 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
     1 on the edge row/col), and out-of-level RoIs are zero via the Wy mask
     (identical to pooling garbage and masking downstream — callers treat
     padded RoIs the same either way).
+
+    level_skip (cfg.TPU.ROI_ALIGN_LEVEL_SKIP / env WEAKCUBE_RA_LEVEL_SKIP):
+    sort RoIs by their assigned FPN level first and lax.cond-skip every
+    (chunk, level) pair with no RoI at that level. The dense plan's cost is
+    paid per level for ALL RoIs (masked-to-zero rows still burn einsum
+    FLOPs and the (B, chunk, P, W, C) intermediate's HBM traffic); with
+    level-sorted RoIs each chunk touches ~1-2 levels instead of all 5.
+    Bit-exact: per-RoI arithmetic is unchanged (skipped work is exactly
+    the all-zero-mask case) and the output is unsorted back.
     """
     import os
     B, R = boxes.shape[:2]
@@ -281,6 +298,11 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
     L = len(features)
     C = features[0].shape[-1]
     levels = assign_fpn_levels(boxes, min_level, min_level + L - 1) - min_level
+    skip = _level_skip_enabled(level_skip)
+    if skip:
+        perm = jnp.argsort(levels, axis=1, stable=True)          # (B, R)
+        boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
+        levels = jnp.take_along_axis(levels, perm, axis=1)
     wdt = features[0].dtype
     grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / (P * S)
 
@@ -288,6 +310,11 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
     chunk = min(chunk, R)
     nc = -(-R // chunk)
     pad = nc * chunk - R
+
+    if skip:
+        lv_pad = jnp.pad(levels, ((0, 0), (0, pad)), constant_values=-1)
+        lv_c = lv_pad.reshape(B, nc, chunk)
+        active = [jnp.any(lv_c == l, axis=(0, 2)) for l in range(L)]  # (nc,)
 
     def hat(c, size):
         c = jnp.clip(c, 0.0, float(size - 1))
@@ -324,16 +351,32 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
         # (standalone pooler graphs compile the same math fine)
         wy, wx = jax.lax.optimization_barrier((wy, wx))
 
-        def body(carry, xs):
-            wyk, wxk = xs
+        def compute_chunk(wyk, wxk):
             v = jnp.einsum("bkpy,byxc->bkpxc", wyk, f)
-            o = jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
-            return carry, o
+            return jnp.einsum("bkqx,bkpxc->bkpqc", wxk, v)
 
-        _, ys = jax.lax.scan(body, 0, (wy, wx))  # (nc, B, chunk, P,P,C)
+        if skip:
+            def body(carry, xs):
+                wyk, wxk, act = xs
+                o = jax.lax.cond(
+                    act, compute_chunk,
+                    lambda *_: jnp.zeros((B, chunk, P, P, C), wdt),
+                    wyk, wxk)
+                return carry, o
+            xs = (wy, wx, active[l])
+        else:
+            def body(carry, xs):
+                return carry, compute_chunk(*xs)
+            xs = (wy, wx)
+
+        _, ys = jax.lax.scan(body, 0, xs)  # (nc, B, chunk, P,P,C)
         out = ys if out is None else out + ys
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, nc * chunk, P, P, C)
-    return out[:, :R]
+    out = out[:, :R]
+    if skip:
+        inv = jnp.argsort(perm, axis=1)   # inverse permutation
+        out = jax.vmap(lambda o, i: o[i])(out, inv)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -359,15 +402,25 @@ def matmul_fwd(features, boxes, strides, output_size: int = 7,
 
 def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
                output_size: int, sampling_ratio: int, min_level: int,
-               chunk: int = 128):
+               chunk: int = 128, level_skip: bool = False):
     """Gradient of multilevel ROIAlign w.r.t. the feature pyramid via dense
-    per-level contractions (no scatter). Args as `windowed_scatter_bwd`."""
+    per-level contractions (no scatter). Args as `windowed_scatter_bwd`;
+    level_skip as in matmul_fwd (the same stable argsort of the level
+    assignment reproduces the forward's permutation exactly, and the
+    feature-space gradient needs no unsort — skipped chunks contribute the
+    exact zero their all-masked Wy rows would)."""
     import os
     B, R = boxes.shape[:2]
     P = output_size
     S = sampling_ratio
     L = len(feat_shapes)
     levels = assign_fpn_levels(boxes, min_level, min_level + L - 1) - min_level
+    skip = _level_skip_enabled(level_skip)
+    if skip:
+        perm = jnp.argsort(levels, axis=1, stable=True)
+        boxes = jnp.take_along_axis(boxes, perm[..., None], axis=1)
+        levels = jnp.take_along_axis(levels, perm, axis=1)
+        g = jax.vmap(lambda gi, i: gi[i])(g, perm)
     wdt = g.dtype  # bf16 on the TPU compute path keeps the matmuls on-MXU
     grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / (P * S)
 
@@ -378,6 +431,11 @@ def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
     g_c = jnp.pad(g, ((0, 0), (0, pad)) + ((0, 0),) * (g.ndim - 2))
     # (nc, B, chunk, P, P, C) scan layout
     g_c = g_c.reshape(B, nc, chunk, P, P, -1).transpose(1, 0, 2, 3, 4, 5)
+
+    if skip:
+        lv_pad = jnp.pad(levels, ((0, 0), (0, pad)), constant_values=-1)
+        lv_c = lv_pad.reshape(B, nc, chunk)
+        active = [jnp.any(lv_c == l, axis=(0, 2)) for l in range(L)]
 
     def hat(c, size):
         """(B, R, P*S) sample coords -> (B, R, P, size) pooled hat weights."""
@@ -405,20 +463,36 @@ def matmul_bwd(feat_shapes, feat_dtypes, boxes, g, strides,
         wy = wy.reshape(B, nc, chunk, P, H).transpose(1, 0, 2, 3, 4)
         wx = wx.reshape(B, nc, chunk, P, W).transpose(1, 0, 2, 3, 4)
 
-        def body(acc, xs):
-            wyk, wxk, gk = xs
+        def contrib(wyk, wxk, gk):
             u = jnp.einsum("brqx,brpqc->brpxc", wxk, gk)
-            acc = acc + jnp.einsum("brpy,brpxc->byxc", wyk, u,
-                                   preferred_element_type=jnp.float32)
-            return acc, None
+            return jnp.einsum("brpy,brpxc->byxc", wyk, u,
+                              preferred_element_type=jnp.float32)
+
+        if skip:
+            # the accumulator rides through the cond so a skipped chunk
+            # does not even pay the (B, H, W, C) add
+            def body(acc, xs):
+                wyk, wxk, gk, act = xs
+                acc = jax.lax.cond(
+                    act,
+                    lambda a, wyk_, wxk_, gk_: a + contrib(wyk_, wxk_, gk_),
+                    lambda a, *_: a,
+                    acc, wyk, wxk, gk)
+                return acc, None
+            xs = (wy, wx, g_c, active[l])
+        else:
+            def body(acc, xs):
+                wyk, wxk, gk = xs
+                return acc + contrib(wyk, wxk, gk), None
+            xs = (wy, wx, g_c)
 
         acc0 = jnp.zeros((B, H, W, C), jnp.float32)
-        df, _ = jax.lax.scan(body, acc0, (wy, wx, g_c))
+        df, _ = jax.lax.scan(body, acc0, xs)
         grads.append(df.astype(dt))
     return tuple(grads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def multilevel_roi_align_trainable(features_tuple, boxes,
                                    strides=(4, 8, 16, 32, 64),
                                    output_size: int = 7,
@@ -426,7 +500,8 @@ def multilevel_roi_align_trainable(features_tuple, boxes,
                                    min_level: int = 2,
                                    bwd_plan: str = "matmul",
                                    fwd_plan: str = "gather",
-                                   chunk: int = 128):
+                                   chunk: int = 128,
+                                   level_skip: bool = False):
     """multilevel_roi_align with explicit forward/backward plans.
 
     bwd_plan: "matmul" (default — scatter-free dense contractions, MXU) or
@@ -434,25 +509,36 @@ def multilevel_roi_align_trainable(features_tuple, boxes,
     rows than autodiff of the gather, but scatter serializes on TPU and the
     plan faults this chip's libtpu). fwd_plan: "gather" (take_along_axis —
     measured at ~3% HBM bandwidth at recipe scale, 191 ms for the b25x512
-    box pooler) or "matmul" (dense contractions, same plan as the
-    backward). chunk bounds the matmul plans' RoI-axis scan intermediate.
+    box pooler), "matmul" (dense contractions, same plan as the
+    backward), or "pallas" (the windowed-DMA inference kernel,
+    ops/roi_align_pallas.py — bandwidth-proportional to the RoI window
+    instead of FLOP-proportional to the full level; output cast back to
+    the feature dtype; TPU-only). chunk bounds the matmul plans' RoI-axis
+    scan intermediate.
     The boxes get NO gradient (proposals are stop-gradient'd
     upstream, matching the reference where proposals are created under
     no_grad). features_tuple must be a tuple (clean custom_vjp pytree).
     """
     if fwd_plan == "matmul":
         return matmul_fwd(list(features_tuple), boxes, strides,
-                          output_size, sampling_ratio, min_level, chunk)
+                          output_size, sampling_ratio, min_level, chunk,
+                          level_skip)
+    if fwd_plan == "pallas":
+        from .roi_align_pallas import multilevel_roi_align_pallas
+        out = multilevel_roi_align_pallas(
+            list(features_tuple), boxes, strides, output_size, min_level,
+            sampling_ratio)
+        return out.astype(features_tuple[0].dtype)
     return multilevel_roi_align(list(features_tuple), boxes, strides,
                                 output_size, sampling_ratio, min_level)
 
 
 def _mra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
-             min_level, bwd_plan, fwd_plan, chunk):
+             min_level, bwd_plan, fwd_plan, chunk, level_skip):
     out = multilevel_roi_align_trainable(features_tuple, boxes, strides,
                                          output_size, sampling_ratio,
                                          min_level, bwd_plan, fwd_plan,
-                                         chunk)
+                                         chunk, level_skip)
     # the backward needs only each level's (B, H, W, C) shape and dtype —
     # carry zero-size views (f[:0]) instead of the arrays so the residuals
     # can never extend the features' liveness into the backward pass
@@ -460,14 +546,14 @@ def _mra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
 
 
 def _mra_bwd(strides, output_size, sampling_ratio, min_level, bwd_plan,
-             fwd_plan, chunk, res, g):
+             fwd_plan, chunk, level_skip, res, g):
     boxes, feat_meta = res
     B = boxes.shape[0]
     shapes = tuple((B,) + f.shape[1:] for f in feat_meta)
     dtypes = tuple(f.dtype for f in feat_meta)
     if bwd_plan == "matmul":
         grads = matmul_bwd(shapes, dtypes, boxes, g, strides, output_size,
-                           sampling_ratio, min_level, chunk)
+                           sampling_ratio, min_level, chunk, level_skip)
     elif bwd_plan == "windowed":
         grads = windowed_scatter_bwd(shapes, dtypes, boxes, g, strides,
                                      output_size, sampling_ratio, min_level)

@@ -128,7 +128,7 @@ def _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref, tile, sem,
     # write (sliced sub-7 writes trip Mosaic's sublane tiling)
     b = jax.lax.dot_general(Wx, a, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.swapaxes(b, 0, 1)
+    out_ref[...] = jnp.swapaxes(b, 0, 1).astype(out_ref.dtype)
 
 
 def _stack_dims(feat_hw, window: int = WINDOW):
@@ -234,11 +234,15 @@ def roi_align_pallas_single(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         _roi_align_kernel(meta_ref, frac_ref, stacked_ref, out_ref.at[0],
                           tile, sem, sampling_ratio)
 
+    # pooled output follows the FEATURE dtype: a bf16 pyramid (the
+    # production inference path) writes a bf16 pooled tensor — at b32 x
+    # 1000 RoIs x 7x7x256 the f32 form is a 1.6 GB HBM write that the box
+    # head (bf16 matmuls) immediately down-casts anyway
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, output_size, output_size, C),
-                                       jnp.float32),
+                                       features[0].dtype),
     )(meta, frac, stacked)
 
 

@@ -157,14 +157,16 @@ def make_train_step(model, tx, remat: bool = False,
     except AttributeError:
         cfg_fwd = "gather"
     fwd_plan = os.environ.get("WEAKCUBE_RA_TRAIN_FWD", cfg_fwd)
-    if (fwd_plan == "matmul" and split not in ("backbone", "backbone2")
+    if (fwd_plan in ("matmul", "pallas")
+            and split not in ("backbone", "backbone2")
             and jax.default_backend() != "cpu"
             and os.environ.get("WEAKCUBE_ALLOW_FAULTY_COMBO", "0") == "0"):
         raise RuntimeError(
-            "ROI_ALIGN_TRAIN_FWD='matmul' with split="
+            f"ROI_ALIGN_TRAIN_FWD={fwd_plan!r} with split="
             f"{split!r} faults the current libtpu (worker crash, 13-45 min "
-            "recovery; NOTES_NEXT_ROUND.md bisect). Use "
-            "TPU.SPLIT_TRAIN_STEP='backbone', or ROI_ALIGN_TRAIN_FWD="
+            "recovery; NOTES_NEXT_ROUND.md bisect — both the dense-einsum "
+            "and the Pallas forward crash inside monolithic train graphs). "
+            "Use TPU.SPLIT_TRAIN_STEP='backbone', or ROI_ALIGN_TRAIN_FWD="
             "'gather', or set WEAKCUBE_ALLOW_FAULTY_COMBO=1 to run a "
             "deliberate crash repro.")
 
