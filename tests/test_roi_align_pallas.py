@@ -73,11 +73,15 @@ class TestTrainablePallasROIAlign:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4, rtol=1e-3)
 
-    def test_fwd_plan_pallas_matmul_bwd(self, monkeypatch):
+    @pytest.mark.parametrize("level_skip", [False, True])
+    def test_fwd_plan_pallas_matmul_bwd(self, monkeypatch, level_skip):
         """fwd_plan='pallas' in multilevel_roi_align_trainable (the
         candidate train combo: windowed-DMA forward + scatter-free matmul
         backward) — forward close to the gather formulation (bf16 tile
-        staging tolerance), backward exactly the matmul plan."""
+        staging tolerance), backward exactly the matmul plan. Covers both
+        level_skip settings: with skip the backward level-sorts the RoIs
+        and cond-skips empty (chunk, level) pairs, which must not change
+        the gradient at all."""
         rng = np.random.default_rng(11)
         strides = (4, 8, 16, 32, 64)
         feats = tuple(jnp.asarray(rng.normal(size=(2, 128 // s, 128 // s, 8))
@@ -94,7 +98,8 @@ class TestTrainablePallasROIAlign:
 
         def loss(fs, fwd_plan):
             out = ra.multilevel_roi_align_trainable(
-                fs, boxes, strides, 7, 2, 2, "matmul", fwd_plan, 128)
+                fs, boxes, strides, 7, 2, 2, "matmul", fwd_plan, 128,
+                level_skip)
             return jnp.sum(out * cot), out
 
         (_, out_p), g_p = jax.value_and_grad(loss, has_aux=True)(

@@ -109,8 +109,7 @@ class Tree(nn.Module):
                              dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, residual=None, children=None, train: bool = False,
-                 root_dim_extra: int = 0):
+    def __call__(self, x, children=None, train: bool = False):
         children = list(children) if children else []
         # non-overlapping pool via reshape+max: nn.max_pool's VJP is an XLA
         # SelectAndScatter (serialized on TPU); this form's VJP is an
@@ -122,8 +121,18 @@ class Tree(nn.Module):
             proj = _bn(train, self.dtype, "project_bn")(proj)
         else:
             proj = bottom
-        if residual is None:
-            residual = proj
+        # dla.py:219: Tree.forward OVERWRITES any incoming residual with its
+        # own project(bottom) — in a levels>1 tree the parent's project
+        # output is dead compute (and its weights never receive gradient in
+        # the reference either). The residual entering tree1's block chain
+        # must therefore come from THIS tree's project, never the parent's:
+        # in dla34's levels-2 trees the TRAINED weights of a released
+        # checkpoint live under levelN.tree1.project, while levelN.project
+        # sits at its initialization — using the parent's projection would
+        # make converted checkpoints numerically wrong. (XLA dead-code
+        # eliminates the unused parent projection; the parameters still
+        # exist, matching the torch state dict.)
+        residual = proj
         if self.level_root:
             children.append(bottom)
 
@@ -136,11 +145,11 @@ class Tree(nn.Module):
             x1 = Tree(self.levels - 1, self.block, self.in_channels, self.out_channels,
                       self.stride, root_residual=self.root_residual,
                       dilation=self.dilation, dtype=self.dtype, name="tree1")(
-                          x, residual, None, train)
+                          x, None, train)
             children.append(x1)
             out = Tree(self.levels - 1, self.block, self.out_channels, self.out_channels,
                        1, root_residual=self.root_residual, dilation=self.dilation,
-                       dtype=self.dtype, name="tree2")(x1, None, children, train)
+                       dtype=self.dtype, name="tree2")(x1, children, train)
         return out
 
 
