@@ -277,7 +277,7 @@ def bench_trainloop(rtt):
     from weakcube_tpu.parallel import make_mesh, make_train_step, shard_batch
     from weakcube_tpu.parallel.train_step import TrainState
     from weakcube_tpu.solver import build_optimizer
-    import itertools
+
     import jax.numpy as jnp
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", 25))
@@ -327,19 +327,56 @@ def bench_trainloop(rtt):
     state = jax.device_put(state)
     step = make_train_step(model, tx)
 
-    def batch_gen():
-        for i in itertools.count():
-            yield host_batches[i % len(host_batches)]
-
     # the production second pipeline stage (tools/train_net.py): uploads
-    # run in their own prefetch thread, overlapping the previous step
-    dev_batches = prefetch(
-        (shard_batch(b, mesh) for b in batch_gen()), depth=2)
+    # run in their own prefetch thread, overlapping the previous step.
+    # Round-5 A/B'd three strategies on an idle host: threaded overlap
+    # 543 ms/step (BEST), leaf-wise serial upload + per-step sync 1122,
+    # packed single-buffer (parallel/packed.py) serial + sync 1010. The
+    # flat-buffer upload itself measures 23 ms idle (bench_tunnel_bw.py),
+    # so the serial losses point at block_until_ready not actually
+    # serializing on this platform (see the methodology note above) —
+    # uploads keep landing against in-flight compute and stalling. Until
+    # a reliable device-idle sync exists on the tunnel, threaded overlap
+    # is the measured best; packed upload + a FETCH-synced loop is the
+    # next candidate (needs a scalar fetch per step wired through the
+    # prefetch thread).
+    mode = os.environ.get("BENCH_TRAINLOOP_MODE", "threaded")
+    if mode == "packed":
+        # packed single-buffer upload + FETCH-synced loop: float() on the
+        # last program's scalar is the only reliable device sync on this
+        # platform (block_until_ready variants measured 1010-1122 ms/step
+        # because uploads kept landing against in-flight compute)
+        from weakcube_tpu.parallel.packed import (make_unpack, pack,
+                                                  pack_spec)
+        spec = pack_spec(host_batches[0])
+        packed_pool = [pack(b, spec) for b in host_batches]
+        unpack = make_unpack(spec)
+
+        def next_batch(i):
+            buf = jax.device_put(packed_pool[i % len(packed_pool)])
+            return unpack(buf)
+
+        def sync(st):
+            return float(st.loss_ema)
+    else:
+        def batch_gen():
+            import itertools
+            for i in itertools.count():
+                yield host_batches[i % len(host_batches)]
+
+        dev_batches = prefetch(
+            (shard_batch(b, mesh) for b in batch_gen()), depth=2)
+
+        def next_batch(i):
+            return next(dev_batches)
+
+        def sync(st):
+            return None
 
     # compile + warmup (2 steps so every program executable is cached)
     t0 = time.perf_counter()
-    for _ in range(2):
-        state, logs = step(state, next(dev_batches),
+    for i in range(2):
+        state, logs = step(state, next_batch(i),
                            jax.random.fold_in(rng, 2))
     _ = float(state.loss_ema)
     print(f"# trainloop compile+warmup {time.perf_counter() - t0:.0f}s",
@@ -348,14 +385,15 @@ def bench_trainloop(rtt):
     N = int(os.environ.get("BENCH_TRAINLOOP_STEPS", 20))
     t0 = time.perf_counter()
     for i in range(N):
-        state, logs = step(state, next(dev_batches),
+        state, logs = step(state, next_batch(i),
                            jax.random.fold_in(rng, 3 + i))
+        sync(state)
     _ = float(state.loss_ema)  # sync: all N steps complete
     wall = time.perf_counter() - t0
     sec = wall / N
     ips = B / sec
     print(f"# trainloop {N} steps, {sec * 1e3:.0f}ms/step wall "
-          f"(upload overlapped)", file=sys.stderr)
+          f"(mode={mode})", file=sys.stderr)
     print(json.dumps({
         "metric": "weakcube_train_loop_recipe",
         "value": round(ips, 2),

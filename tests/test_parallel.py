@@ -194,3 +194,31 @@ def test_multihost_entry_two_processes():
     for rank, (rc, out, err) in enumerate(outs):
         assert rc == 0, (rank, out[-2000:], err[-2000:])
         assert f"rank {rank} ok" in out
+
+
+class TestPackedUpload:
+    def test_pack_unpack_roundtrip(self):
+        """pack -> device unpack must be bit-exact for a mixed-dtype batch
+        pytree (the tunnel's flat-uint8 fast path, parallel/packed.py)."""
+        import numpy as np
+        from weakcube_tpu.parallel.packed import (make_unpack, pack,
+                                                  pack_spec)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8),
+            "depth": rng.normal(size=(2, 16, 16)).astype(np.float16),
+            "K": rng.normal(size=(2, 3, 3)).astype(np.float32),
+            "gt": {"classes": rng.integers(0, 9, (2, 5)).astype(np.int32),
+                   "valid": rng.integers(0, 2, (2, 5)).astype(bool)},
+            "wh": np.full((2, 2), 16.0, np.float32),
+        }
+        spec = pack_spec(batch)
+        buf = pack(batch, spec)
+        assert buf.dtype == np.uint8 and buf.ndim == 1
+        out = jax.device_get(make_unpack(spec)(jnp.asarray(buf)))
+        flat_in, td_in = jax.tree_util.tree_flatten(batch)
+        flat_out, td_out = jax.tree_util.tree_flatten(out)
+        assert td_in == td_out
+        for a, b in zip(flat_in, flat_out):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(a, b)

@@ -41,37 +41,8 @@ class TestPallasROIAlign:
 
 
 class TestTrainablePallasROIAlign:
-    def test_grad_matches_xla_autodiff(self, monkeypatch):
-        """custom_vjp backward must match jax.grad of the XLA formulation
-        (ROIAlign is linear in features, so grads are plan-determined)."""
-        rng = np.random.default_rng(3)
-        strides = (4, 8, 16, 32, 64)
-        feats = tuple(jnp.asarray(rng.normal(size=(1, 128 // s, 128 // s, 8))
-                                  .astype(np.float32)) for s in strides)
-        xy = rng.uniform(8, 60, (1, 6, 2))
-        wh = rng.uniform(10, 50, (1, 6, 2))
-        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
-
-        from weakcube_tpu.ops import roi_align_pallas as rap
-        orig = rap.pl.pallas_call
-        monkeypatch.setattr(rap.pl, "pallas_call",
-                            lambda *a, **k: orig(*a, interpret=True, **k))
-
-        cot = jnp.asarray(rng.normal(size=(1, 6, 7, 7, 8)).astype(np.float32))
-
-        def loss_pallas(fs):
-            out = rap.roi_align_pallas_trainable(fs, boxes, strides, 7, 2, 2)
-            return jnp.sum(out * cot)
-
-        def loss_xla(fs):
-            out = ra.multilevel_roi_align(list(fs), boxes, strides, 7)
-            return jnp.sum(out * cot)
-
-        g_pallas = jax.grad(loss_pallas)(feats)
-        g_xla = jax.grad(loss_xla)(feats)
-        for a, b in zip(g_pallas, g_xla):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=3e-4, rtol=1e-3)
+    """fwd_plan='pallas' inside multilevel_roi_align_trainable — the production
+    train combo (windowed-DMA forward, scatter-free matmul backward)."""
 
     @pytest.mark.parametrize("level_skip", [False, True])
     def test_fwd_plan_pallas_matmul_bwd(self, monkeypatch, level_skip):
@@ -111,34 +82,6 @@ class TestTrainablePallasROIAlign:
         for a, b in zip(g_p, g_g):   # same matmul bwd plan on both sides
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
-
-    def test_pallas_bwd_matches_scatter_batched(self, monkeypatch):
-        """Pallas RMW backward vs the XLA scatter plan: B=3 images, many
-        heavily overlapping RoIs (stresses sequential accumulation and the
-        per-image row-offset fold)."""
-        rng = np.random.default_rng(7)
-        strides = (4, 8, 16, 32, 64)
-        shapes = tuple((3, 96 // s, 96 // s, 8) for s in strides)
-        feats = tuple(jnp.zeros(s, jnp.float32) for s in shapes)
-        xy = rng.uniform(4, 40, (3, 24, 2))
-        wh = rng.uniform(8, 50, (3, 24, 2))
-        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
-        boxes[:, 0] = [-6.0, -4.0, 102.0, 120.0]   # beyond the image: border
-        boxes[:, 1] = [60.0, 70.0, 130.0, 140.0]   # clamp, not zero padding
-        boxes = jnp.asarray(boxes)
-        g = jnp.asarray(rng.normal(size=(3, 24, 7, 7, 8)).astype(np.float32))
-
-        from weakcube_tpu.ops import roi_align_pallas as rap
-        orig = rap.pl.pallas_call
-        monkeypatch.setattr(rap.pl, "pallas_call",
-                            lambda *a, **k: orig(*a, interpret=True, **k))
-        res = (boxes, feats)
-        got, _ = rap._ra_bwd_pallas(strides, 7, 2, 2, res, g)
-        want, _ = rap._ra_bwd_scatter(strides, 7, 2, 2, res, g)
-        for a, b in zip(got, want):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-4, rtol=1e-4)
-
 
 class TestAutoWindow:
     def test_window_selection(self):

@@ -16,13 +16,10 @@ Variants (pass as argv[1]):
   noransac    jit_rest with pose_ground dropped (kills the in-graph RANSAC)
   iouonly     jit_rest with loss_functions=["iou"] (pool+heads+iou only)
   noboxhead   jit_rest with LOSS_W_3D=0 (2D branch only: RPN+box losses)
-  pallas      jit_rest with USE_PALLAS_ROI_ALIGN=1 (Pallas fwd + windowed
-              scatter bwd). The Pallas-forward-in-train-graph worker crash
-              was bisected in MONOLITHIC graphs (with the backbone convs);
-              the split rest program has no backbone — retest. CRASH RISK.
-  pallasmm    jit_rest with ROI_ALIGN_TRAIN_FWD='pallas' + matmul bwd (the
-              candidate production combo: windowed-DMA fwd, scatter-free
-              bwd). CRASH RISK like `pallas`.
+  pallasmm    jit_rest with ROI_ALIGN_TRAIN_FWD='pallas' + matmul bwd
+              (the production combo since round 5: windowed-DMA fwd,
+              scatter-free bwd; 164.6 ms / 151.1 with level-skip vs the
+              200 ms matmul-fwd baseline, v5e 2026-08-22).
 
 Env sweeps (set BEFORE the run; they bind at trace time):
   WEAKCUBE_RA_CHUNK=64|128|256|512   pooler scan chunk (default 128)
@@ -79,8 +76,6 @@ def main():
         overrides = {"loss_functions": ["iou"]}
     elif variant == "noboxhead":
         overrides = {"MODEL.ROI_CUBE_HEAD.LOSS_W_3D": 0.0}
-    elif variant == "pallas":
-        overrides = {"TPU.USE_PALLAS_ROI_ALIGN": True}
 
     model, tx, state, batch, rng = build(overrides)
     params, batch_stats = state.params, state.batch_stats

@@ -43,5 +43,4 @@ run chunk256  env WEAKCUBE_RA_CHUNK=256 python tools/bench_p2_profile.py p2
 run p3_all    python tools/bench_p3_parts.py all
 run infer_all python tools/bench_infer_parts.py all
 # crash-risk last: Pallas forward inside the (backbone-free) rest program
-run pallas    python tools/bench_p2_profile.py pallas
 echo "SWEEP DONE $(date +%H:%M:%S)" | tee -a "$LOG"

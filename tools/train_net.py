@@ -151,9 +151,14 @@ def do_train(cfg, args, records, loaders, num_classes):
     first = shard_batch(next(batches), mesh)
     # second pipeline stage: the host->device batch upload runs inside its
     # own prefetch thread so it overlaps the previous step's on-device
-    # compute (a b25@512 batch is ~20 MB uint8 image + ~32 MB maps; on
-    # tunnel-attached hosts the blocking upload would eat into the 325 ms
-    # step — same fix as the eval loop, tools/eval_net.py round 4)
+    # compute. Round 5 A/B'd this against a serial-upload + per-step-sync
+    # loop: threaded 543 ms/step vs serial 1122 on an idle host — a
+    # MULTI-LEAF pytree upload via shard_batch costs ~850 ms on this
+    # tunnel even against an idle device (a single contiguous 33.6 MB
+    # array costs 23 ms, tools/bench_tunnel_bw.py — the per-leaf puts,
+    # not the bytes, are the cost), so overlapping it wins even with the
+    # tunnel's transfer-during-compute stall. Next lever: pack the batch
+    # into ONE host buffer and unpack in-graph.
     dev_batches = prefetch(map(lambda b: shard_batch(b, mesh), batches))
 
     rng = jax.random.PRNGKey(12 if cfg.SEED < 0 else cfg.SEED)

@@ -269,7 +269,10 @@ def build_default_cfg() -> CfgNode:
     # ops/bitpack.py). Both decoded in-graph (models/rcnn3d.py::_roi_extra).
     c.TPU.TRANSFER_DEPTH_F16 = True
     c.TPU.TRANSFER_MASK_BITS = True
-    c.TPU.USE_PALLAS_ROI_ALIGN = False  # Pallas kernel on the inference path
+    # Pallas windowed-DMA ROIAlign on the INFERENCE path (double-buffered
+    # window streaming; 41.7 ms/b32x1000-RoI pool vs 123.1 ms dense-matmul
+    # on the v5e). TPU-only — non-TPU backends take the XLA gather pooler.
+    c.TPU.USE_PALLAS_ROI_ALIGN = True
     # In-graph ground-plane RANSAC cost (pose_ground under the backbone
     # split, where the host normals cache is dropped): hypothesis count
     # (reference Plane_torch maxIteration=1000, ProposalNetwork/utils/
@@ -281,13 +284,15 @@ def build_default_cfg() -> CfgNode:
     # ---- training ROIAlign plans + step structure -----------------------
     # (YAML-first; the WEAKCUBE_* env vars of the same spelling override at
     # trace time for bench sweeps — see README "Environment overrides".)
-    # Forward plan inside train graphs: "matmul" (dense separable
-    # hat-matrix einsums on the MXU; fwd_bwd 299 vs 482 ms measured — pair
-    # with the backbone-split step below), "gather" (take_along_axis;
-    # ~3% HBM bandwidth at recipe scale but runs in any step structure),
-    # or "pallas" (windowed-DMA kernel, ops/roi_align_pallas.py —
-    # bandwidth-proportional to the RoI window; backbone split only).
-    c.TPU.ROI_ALIGN_TRAIN_FWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_FWD
+    # Forward plan inside train graphs: "pallas" (windowed-DMA kernel,
+    # ops/roi_align_pallas.py — bandwidth-proportional to the RoI window;
+    # backbone split only; resolves to "matmul" on non-TPU backends where
+    # the Mosaic kernel cannot lower), "matmul" (dense separable hat-matrix
+    # einsums on the MXU), or "gather" (take_along_axis; ~3% HBM bandwidth
+    # at recipe scale but runs in any step structure). Round-5 v5e
+    # measurements of the rest program (tick-off, b25@512): gather-era
+    # baseline ~200 ms, matmul+skip 185.1, pallas 164.6, pallas+skip 151.1.
+    c.TPU.ROI_ALIGN_TRAIN_FWD = "pallas"    # env: WEAKCUBE_RA_TRAIN_FWD
     # Feature-gradient plan: "matmul" (scatter-free, default), "windowed"
     # (blocked scatter_add), or "autodiff" (XLA per-corner scatter).
     c.TPU.ROI_ALIGN_TRAIN_BWD = "matmul"    # env: WEAKCUBE_RA_TRAIN_BWD
@@ -298,8 +303,9 @@ def build_default_cfg() -> CfgNode:
     # level and lax.cond-skip (chunk, level) pairs with no RoI at that
     # level — the dense einsums otherwise pay every level's FLOPs +
     # intermediate HBM traffic for ALL RoIs (bit-exact; see
-    # ops/roi_align.py::matmul_fwd).
-    c.TPU.ROI_ALIGN_LEVEL_SKIP = False      # env: WEAKCUBE_RA_LEVEL_SKIP
+    # ops/roi_align.py::matmul_fwd). Pool fwd 51.8 -> 41.8 ms, fwd+bwd
+    # 122.5 -> 103.1 ms at recipe scale (v5e, 2026-08-22).
+    c.TPU.ROI_ALIGN_LEVEL_SKIP = True       # env: WEAKCUBE_RA_LEVEL_SKIP
     # Train-step structure: "backbone" (four programs: backbone fwd | rest
     # fwd+bwd | backbone bwd | update — a structure in which the
     # matmul ROIAlign forward runs clean on the 2026-08 axon libtpu),

@@ -567,7 +567,10 @@ class ROIHeadsCommon(nn.Module):
         feats = [features[f] for f in self.cfg.MODEL.ROI_HEADS.IN_FEATURES]
         strides = FPN_STRIDES[:len(feats)]
         use_pallas = ("USE_PALLAS_ROI_ALIGN" in self.cfg.TPU
-                      and self.cfg.TPU.USE_PALLAS_ROI_ALIGN)
+                      and self.cfg.TPU.USE_PALLAS_ROI_ALIGN
+                      # Mosaic kernels only lower on TPU; CPU (tests,
+                      # dryrun) deterministically takes the XLA paths
+                      and jax.default_backend() == "tpu")
         if inference and use_pallas:
             # forward-only Pallas kernel: inference path. Features go in
             # AS-IS (the kernel stages bf16 window tiles internally — a
@@ -580,11 +583,6 @@ class ROIHeadsCommon(nn.Module):
         # equivalent is 2 samples/bin (d2's effective value at RoI ~ 14
         # units); values > 0 are honoured verbatim
         sr = self.cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2
-        if use_pallas:
-            # training path: Pallas forward + linear scatter backward
-            from ..ops.roi_align_pallas import roi_align_pallas_trainable
-            return roi_align_pallas_trainable(tuple(feats), boxes,
-                                              tuple(strides), resolution, sr)
         if inference:
             return multilevel_roi_align(feats, boxes, strides, resolution,
                                         sampling_ratio=sr)
@@ -625,6 +623,13 @@ class ROIHeadsCommon(nn.Module):
             raise ValueError(
                 f"ROI_ALIGN_TRAIN_FWD={fwd_plan!r}: expected "
                 "'matmul', 'gather' or 'pallas'")
+        if fwd_plan == "pallas" and jax.default_backend() != "tpu":
+            # the Mosaic kernel only lowers on TPU; on CPU (tests, the
+            # multi-chip dryrun) the pallas plan deterministically resolves
+            # to the matmul forward. Platform-keyed, not data-dependent —
+            # a given backend always runs one fixed plan, so crash bisects
+            # and parity tests stay meaningful.
+            fwd_plan = "matmul"
         if fwd_plan in ("matmul", "pallas") and plan == "autodiff":
             # autodiff means "differentiate the gather forward"; with the
             # matmul forward the custom_vjp has no gather to differentiate

@@ -24,15 +24,18 @@ Samples beyond the window edge-clamp — the same border clamp ROIAlign
 performs.
 
 Window tiles are staged in bf16 (halves the dominant DMA cost; matmuls
-accumulate fp32 on the MXU). Training uses `roi_align_pallas_trainable`
-below: this kernel as the forward plus a linear backward (custom_vjp).
-ROIAlign is linear in the features, so gradients depend only on the
-bilinear sampling plan. Two backward plans exist: the default XLA
-scatter-add of the sampling plan, and a Pallas transpose kernel
-(WEAKCUBE_PALLAS_BWD=1) that read-modify-writes per-RoI window gradients
-into a stacked HBM buffer — race-free because TPU grid steps run
-sequentially on a core, but measurably slower at recipe scale (see
-_ra_bwd). (Reference: cube-rcnn ROIAlignV2 / detectron2 poolers; see
+accumulate fp32 on the MXU). A double-buffered variant (window DMA for RoI
+r+1 issued before waiting on r's) was measured SLOWER on the v5e (44.0 vs
+41.7 ms inference pool, 283 vs 276 ms train step, 2026-08-22) — the
+dynamic tiles[slot] addressing costs more than the inter-step DMA bubble
+it hides — and was removed. Training uses this
+kernel as the forward of ops/roi_align.py::multilevel_roi_align_trainable
+(fwd_plan='pallas') with the scatter-free matmul backward — ROIAlign is
+linear in the features, so gradients depend only on the bilinear sampling
+plan. (A per-RoI read-modify-write Pallas backward and an XLA scatter-add
+backward existed through round 4; both measured slower than the matmul
+plan — 630 and 589 ms/step vs the shipped default at recipe scale — and
+were removed.) (Reference: cube-rcnn ROIAlignV2 / detectron2 poolers; see
 ops/roi_align.py for citations.)
 """
 from __future__ import annotations
@@ -260,206 +263,3 @@ def multilevel_roi_align_pallas(features: Sequence[jnp.ndarray],
     return jax.vmap(lambda fs, b: fn(fs, b))(list(features), boxes)
 
 
-# ---------------------------------------------------------------------------
-# trainable wrapper: Pallas forward + linear backward
-# ---------------------------------------------------------------------------
-# ROIAlign is LINEAR in the features, so the backward pass needs only the
-# bilinear weight plan, not the feature values. Default backward: XLA
-# scatter-add of the sampling plan (_ra_bwd_scatter). Alternative
-# (WEAKCUBE_PALLAS_BWD=1): a Pallas kernel that is the exact transpose of
-# the forward — one program per RoI computes its (WINDOW_Y, WINDOW, C)
-# window gradient with two small MXU matmuls
-# (gtile[y,x,c] = sum_ij Wy[i,y] Wx[j,x] g[i,j,c]) and accumulates it into a
-# stacked HBM gradient buffer by read-modify-write DMA. TPU grid steps run
-# SEQUENTIALLY on a core, so the RMW is race-free without atomics, but the
-# serialized window DMAs lose to XLA's sorted scatter at recipe scale
-# (589 vs 630 ms/step) — see _ra_bwd.
-
-
-def _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
-                          tile, sem, sampling_ratio: int = 2):
-    """One program per (image, RoI): transpose of _roi_align_kernel.
-
-    meta_ref/frac_ref: (1, 1, 4) SMEM blocks (streamed per step — the train
-    path pools up to B*16k RoIs, far beyond the scalar-prefetch SMEM
-    budget; the unit middle axis satisfies Mosaic's last-two-dims block
-    rule). g_ref block: (1, P, P, C) upstream grad in VMEM. acc_ref: the
-    stacked (B*sumH, maxW*C) fp32 gradient buffer in HBM (aliased to the
-    zeros input; zeros_ref is the alias twin and is not read)."""
-    del zeros_ref
-    P = g_ref.shape[1]
-    C = g_ref.shape[-1]
-    WY = tile.shape[0]
-    W = WY - 8
-    row0 = pl.multiple_of(meta_ref[0, 0, 0], 8)
-    col0 = meta_ref[0, 0, 1]
-    if C % 128 == 0:
-        col0 = pl.multiple_of(col0, 128)
-
-    window = acc_ref.at[pl.ds(row0, WY), pl.ds(col0, W * C)]
-    cp_in = pltpu.make_async_copy(window, tile, sem)
-    cp_in.start()
-
-    sy0 = frac_ref[0, 0, 0]
-    sx0 = frac_ref[0, 0, 1]
-    sdy = frac_ref[0, 0, 2]
-    sdx = frac_ref[0, 0, 3]
-    ylim = meta_ref[0, 0, 2].astype(jnp.float32)
-    xlim = meta_ref[0, 0, 3].astype(jnp.float32)
-    # fp32 weights: the backward is the gradient of the idealised (fp32) op;
-    # the forward's bf16 tile staging is treated as rounding noise
-    Wy = _bilinear_weight_rows(sy0, sdy, WY, P, sampling_ratio, ylim)
-    Wx = _bilinear_weight_rows(sx0, sdx, W, P, sampling_ratio, xlim)
-
-    g = g_ref[0].astype(jnp.float32)                       # (P, P, C)
-    # contract i: (P, WY)^T x (P, P, C) -> (WY, P, C)
-    h = jax.lax.dot_general(Wy, g, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    # contract j per y-row (batched so the output lands (y, x, c)-major):
-    # (Y, P, W) x (Y, P, C) -> (Y, W, C)
-    Wx_b = jnp.broadcast_to(Wx[None], (WY, P, W))
-    gt = jax.lax.dot_general(Wx_b, h, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-
-    cp_in.wait()
-    tile[...] += gt.reshape(WY, W * C)
-    cp_out = pltpu.make_async_copy(tile, window, sem)
-    cp_out.start()
-    cp_out.wait()
-
-
-def _ra_bwd_pallas(strides, output_size, sampling_ratio, min_level, res, g):
-    boxes, features_tuple = res
-    shapes = tuple(f.shape for f in features_tuple)
-    dtypes = tuple(f.dtype for f in features_tuple)
-    B, R = boxes.shape[:2]
-    C = shapes[0][-1]
-    P = output_size
-    feat_hw = [(s[1], s[2]) for s in shapes]
-    window = _auto_window(feat_hw)
-    window_y = window + 8
-    heights_padded, row_offsets, maxW, sumH = _stack_dims(feat_hw, window)
-
-    meta, frac = jax.vmap(lambda bx: _window_meta(
-        bx, feat_hw, heights_padded, row_offsets, maxW, C, strides,
-        output_size, min_level, sampling_ratio, window))(boxes)  # (B, R, 4)
-    # fold the batch into the stacked row origin -> one flat sequential grid
-    meta = meta.at[..., 0].add(
-        (jnp.arange(B, dtype=jnp.int32) * sumH)[:, None])
-    meta = meta.reshape(B * R, 1, 4)
-    frac = frac.reshape(B * R, 1, 4)
-    g_flat = g.reshape(B * R, P, P, C).astype(jnp.float32)
-
-    def kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref, tile, sem):
-        _roi_align_bwd_kernel(meta_ref, frac_ref, g_ref, zeros_ref, acc_ref,
-                              tile, sem, sampling_ratio)
-
-    zeros = jnp.zeros((B * sumH, maxW * C), jnp.float32)
-    buf = pl.pallas_call(
-        kernel,
-        grid=(B * R,),
-        in_specs=[pl.BlockSpec((1, 1, 4), lambda r: (r, 0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1, 4), lambda r: (r, 0, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, P, P, C), lambda r: (r, 0, 0, 0)),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((window_y, window * C), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
-        out_shape=jax.ShapeDtypeStruct((B * sumH, maxW * C), jnp.float32),
-        # operand index over inputs: (meta, frac, g, zeros)
-        input_output_aliases={3: 0},
-    )(meta, frac, g_flat, zeros)
-
-    buf = buf.reshape(B, sumH, maxW, C)
-    grads = []
-    off = 0
-    for (h, w), Hp, dt in zip(feat_hw, heights_padded, dtypes):
-        grads.append(buf[:, off:off + h, :w].astype(dt))
-        off += Hp
-    return tuple(grads), None
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def roi_align_pallas_trainable(features_tuple, boxes, strides=(4, 8, 16, 32, 64),
-                               output_size: int = 7, sampling_ratio: int = 2,
-                               min_level: int = 2):
-    """Differentiable multi-level ROIAlign with the Pallas forward.
-
-    features_tuple: tuple of (B, H_l, W_l, C) maps (tuple so it's a clean
-    pytree for custom_vjp); boxes: (B, R, 4). Returns (B, R, P, P, C) fp32.
-    """
-    f32 = [f.astype(jnp.float32) for f in features_tuple]
-    return multilevel_roi_align_pallas(f32, boxes, strides, output_size,
-                                       min_level, sampling_ratio)
-
-
-def _ra_fwd(features_tuple, boxes, strides, output_size, sampling_ratio,
-            min_level):
-    out = roi_align_pallas_trainable(features_tuple, boxes, strides,
-                                     output_size, sampling_ratio, min_level)
-    # residuals hold the feature arrays only for their shapes/dtypes (the op
-    # is linear in features; in training they are alive anyway)
-    return out, (boxes, features_tuple)
-
-
-def _ra_bwd_scatter(strides, output_size, sampling_ratio, min_level, res, g):
-    """Windowed scatter-add backward — shared with the pure-XLA trainable
-    path (ops/roi_align.py::windowed_scatter_bwd): one (2,2,C) bilinear
-    block per sample point, 4x fewer scatter rows than the per-corner plan
-    (which cost ~480 ms/step at recipe scale, ~70% of the backward)."""
-    from .roi_align import windowed_scatter_bwd
-    boxes, features_tuple = res
-    shapes = tuple(f.shape for f in features_tuple)
-    dtypes = tuple(f.dtype for f in features_tuple)
-    return windowed_scatter_bwd(shapes, dtypes, boxes, g, strides,
-                                output_size, sampling_ratio, min_level), None
-
-
-def _ra_bwd_matmul(strides, output_size, sampling_ratio, min_level, res, g):
-    """Scatter-free dense-contraction backward (ops/roi_align.py::matmul_bwd):
-    the feature gradient as two MXU einsums per level against closed-form
-    hat-function interpolation matrices."""
-    from .roi_align import matmul_bwd
-    boxes, features_tuple = res
-    shapes = tuple(f.shape for f in features_tuple)
-    dtypes = tuple(f.dtype for f in features_tuple)
-    return matmul_bwd(shapes, dtypes, boxes, g, strides,
-                      output_size, sampling_ratio, min_level), None
-
-
-def _ra_bwd(strides, output_size, sampling_ratio, min_level, res, g):
-    # Measured on v5e at recipe scale (b25@512px, SR1): XLA scatter 589 ms/
-    # step vs Pallas RMW 630 ms — the per-RoI serialized window read-modify-
-    # write (correctness requires it: RoI windows overlap, so grid step N+1
-    # may not read before step N's write lands) costs more than XLA's sorted
-    # scatter-add. Both lose to the dense matmul plan (no scatter at all),
-    # which is the default; WEAKCUBE_RA_BWD=scatter restores the old plan.
-    import os
-    if os.environ.get("WEAKCUBE_RA_BWD") == "zero":
-        # diagnostic: no feature gradient from ROIAlign (isolates the
-        # pooler backward in stage benches; never use for real training)
-        _, features_tuple = res
-        return tuple(jnp.zeros_like(f) for f in features_tuple), None
-    if os.environ.get("WEAKCUBE_PALLAS_BWD"):
-        # VMEM budget guard: the RMW kernel stages an fp32 (window+8,
-        # window*C) scratch; at window=128 with FPN C=256 that is ~17.8 MB,
-        # over the ~16 MB VMEM budget, and the pallas_call fails to compile.
-        # Inputs that large only arise through the public API (train images
-        # are capped well below the 128-window threshold) — fall back to the
-        # XLA scatter plan instead of erroring.
-        _, features_tuple = res
-        feat_hw = [(f.shape[1], f.shape[2]) for f in features_tuple]
-        C = features_tuple[0].shape[-1]
-        window = _auto_window(feat_hw)
-        if (window + 8) * window * C * 4 <= 14 * 1024 * 1024:
-            return _ra_bwd_pallas(strides, output_size, sampling_ratio,
-                                  min_level, res, g)
-    if os.environ.get("WEAKCUBE_RA_BWD") == "scatter":
-        return _ra_bwd_scatter(strides, output_size, sampling_ratio,
-                               min_level, res, g)
-    return _ra_bwd_matmul(strides, output_size, sampling_ratio, min_level,
-                          res, g)
-
-
-roi_align_pallas_trainable.defvjp(_ra_fwd, _ra_bwd)
